@@ -1,0 +1,75 @@
+"""Host-side conversions between MP word arrays and decimal strings.
+
+The reference reads/writes all numeric file formats as full-precision
+decimal strings (GMP I/O, `src/sdpb_util/set_stream_precision.hxx`).  We
+parse and emit them with mpmath at a working precision comfortably above
+K*53 bits, then split into / recombine from float64 words exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import mpmath
+
+from .core import DEFAULT_K
+
+_GUARD_BITS = 40
+
+
+def _ctx(k: int) -> mpmath.MPContext:
+    ctx = mpmath.mp.clone()
+    ctx.prec = 53 * k + _GUARD_BITS
+    return ctx
+
+
+def from_mpf(x, k: int = DEFAULT_K) -> np.ndarray:
+    """Split an mpmath mpf (or float/int) into K float64 words (exact
+    greedy extraction: w_i = round(x - sum(w_0..w_{i-1})))."""
+    ctx = _ctx(k)
+    v = ctx.mpf(x)
+    words = np.zeros(k, dtype=np.float64)
+    for i in range(k):
+        w = float(v)
+        words[i] = w
+        v = v - ctx.mpf(w)
+    return words
+
+
+def from_decimal(s: str, k: int = DEFAULT_K) -> np.ndarray:
+    ctx = _ctx(k)
+    return from_mpf(ctx.mpf(s.strip()), k)
+
+
+def to_mpf(words, ctx: mpmath.MPContext | None = None):
+    """Exact sum of float64 words as an mpmath mpf."""
+    words = np.asarray(words, dtype=np.float64)
+    k = words.shape[-1]
+    if ctx is None:
+        ctx = _ctx(k)
+    v = ctx.mpf(0)
+    for w in words.reshape(-1) if words.ndim == 1 else words:
+        v += ctx.mpf(float(w))
+    return v
+
+
+def to_decimal(words, digits: int | None = None) -> str:
+    """Decimal string with full round-trip precision for K words."""
+    words = np.asarray(words, dtype=np.float64)
+    k = words.shape[-1]
+    ctx = _ctx(k)
+    if digits is None:
+        digits = int(np.ceil(53 * k * 0.30103)) + 2
+    return ctx.nstr(
+        to_mpf(words, ctx), digits, strip_zeros=True, min_fixed=1, max_fixed=0
+    )
+
+
+def array_from_decimal(strings, k: int = DEFAULT_K) -> np.ndarray:
+    """Vectorized from_decimal over a nested list of strings."""
+    arr = np.asarray(strings, dtype=object)
+    out = np.zeros(arr.shape + (k,), dtype=np.float64)
+    flat_in = arr.reshape(-1)
+    flat_out = out.reshape(-1, k)
+    for i, s in enumerate(flat_in):
+        flat_out[i] = from_decimal(s, k)
+    return out

@@ -1,0 +1,213 @@
+"""Dense linear algebra on multi-word (MP) matrices.
+
+MP matrices have shape (..., n, m, K) with K trailing float64 words.
+These are the TPU-side equivalents of the Elemental BigFloat kernels the
+reference leans on (El::Cholesky / Trsm / Syrk / Gemm — e.g.
+`src/sdp_solve/SDP_Solver/run/cholesky_decomposition.cxx`,
+`.../compute_bilinear_pairings/compute_A_X_inv.cxx`,
+`.../initialize_schur_complement_solver/compute_Q.cxx`).
+
+The implementations here are straightforward vectorized expansions
+(VPU-only); the MXU-accelerated sliced-integer matmul backend lives in
+`sdpb_tpu.ops` and is used by `matmul` when profitable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import core
+from .core import MPArray
+
+# Contraction chunk: bounds peak memory of the (m, chunk, p, K) product
+# tensor in naive matmul.
+_MATMUL_CHUNK = 128
+
+
+# ---------------------------------------------------------------------------
+# Matmul / Syrk
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("transpose_a", "transpose_b"))
+def matmul(a: MPArray, b: MPArray, transpose_a: bool = False,
+           transpose_b: bool = False) -> MPArray:
+    """MP matrix product a @ b; shapes (m, n, K) x (n, p, K) -> (m, p, K)."""
+    if transpose_a:
+        a = jnp.swapaxes(a, -3, -2)
+    if transpose_b:
+        b = jnp.swapaxes(b, -3, -2)
+    m, n, k = a.shape[-3], a.shape[-2], a.shape[-1]
+    p = b.shape[-2]
+    assert b.shape[-3] == n, (a.shape, b.shape)
+    partials = []
+    for start in range(0, n, _MATMUL_CHUNK):
+        stop = min(start + _MATMUL_CHUNK, n)
+        prod = core.mul(
+            a[..., :, start:stop, None, :], b[..., None, start:stop, :, :]
+        )
+        # prod batch axes are (..., m, chunk, p); contract the chunk axis
+        # (batch-axis -2 in core.sum_'s batch-relative convention).
+        partials.append(core.sum_(prod, axis=-2))
+    out = partials[0]
+    for q in partials[1:]:
+        out = core.add(out, q)
+    return out
+
+
+def syrk(a: MPArray, transpose: bool = True) -> MPArray:
+    """a^T a (transpose=True) or a a^T. Symmetry exploitation TODO: the
+    MXU backend halves the work; the naive path computes the full square."""
+    if transpose:
+        return matmul(a, a, transpose_a=True)
+    return matmul(a, a, transpose_b=True)
+
+
+def matvec(a: MPArray, x: MPArray, transpose: bool = False) -> MPArray:
+    """(n, m, K) @ (m, K) -> (n, K)."""
+    if transpose:
+        a = jnp.swapaxes(a, -3, -2)
+    prod = core.mul(a, x[..., None, :, :])
+    # prod batch axes are (..., n, m); contract m (batch-axis -1).
+    return core.sum_(prod, axis=-1)
+
+
+def transpose(a: MPArray) -> MPArray:
+    return jnp.swapaxes(a, -3, -2)
+
+
+def symmetrize(a: MPArray) -> MPArray:
+    """(A + A^T)/2, the reference's Block_Diagonal_Matrix::symmetrize."""
+    return core.mul_pow2(core.add(a, transpose(a)), 0.5)
+
+
+def diag(a: MPArray) -> MPArray:
+    n = a.shape[-3]
+    return a[..., jnp.arange(n), jnp.arange(n), :]
+
+
+def add_diag(a: MPArray, s) -> MPArray:
+    """A + s*I for f64 or MP scalar s."""
+    n = a.shape[-3]
+    d = diag(a)
+    if isinstance(s, jax.Array) and s.ndim >= 1 and s.shape[-1] == a.shape[-1]:
+        new_d = core.add(d, jnp.broadcast_to(s, d.shape))
+    else:
+        new_d = core.add_f64(d, s)
+    return a.at[..., jnp.arange(n), jnp.arange(n), :].set(new_d)
+
+
+def trace(a: MPArray) -> MPArray:
+    return core.sum_(diag(a), axis=-2)
+
+
+def frobenius(a: MPArray, b: MPArray) -> MPArray:
+    """Tr(a^T b) = elementwise dot (no leading batch dims)."""
+    k = a.shape[-1]
+    prod = core.mul(a, b)
+    return core.sum_(prod.reshape(-1, k), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Cholesky and triangular solves
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def cholesky(a: MPArray) -> MPArray:
+    """Lower Cholesky of a symmetric positive-definite MP matrix (n,n,K).
+
+    Unblocked right-looking; non-PD inputs yield NaNs, which the solver
+    treats as a precision failure exactly as the reference treats
+    Elemental's non-HPD exception (`docs/Usage.md:270-273`).
+    """
+    n, k = a.shape[-3], a.shape[-1]
+    if a.ndim > 3:
+        return jax.vmap(cholesky)(a)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def body(j, mat):
+        d = core.sqrt(mat[j, j])
+        col = core.div(mat[:, j], jnp.broadcast_to(d, (n, k)))
+        below = rows > j
+        col = jnp.where(
+            below[:, None], col, jnp.where((rows == j)[:, None], d[None, :], 0.0)
+        )
+        mat = jax.lax.dynamic_update_slice(mat, col[:, None, :], (0, j, 0))
+        upd = core.mul(col[:, None, :], col[None, :, :])
+        mask = (below[:, None] & below[None, :])[:, :, None]
+        mat = core.add(mat, jnp.where(mask, -upd, 0.0))
+        return mat
+
+    out = jax.lax.fori_loop(0, n, body, a)
+    cols = rows
+    lower_mask = (rows[:, None] >= cols[None, :])[:, :, None]
+    return jnp.where(lower_mask, out, 0.0)
+
+
+@jax.jit
+def solve_lower(l: MPArray, b: MPArray) -> MPArray:
+    """X = L^{-1} B by forward substitution; L (n,n,K) lower, B (n,m,K)."""
+    n, k = l.shape[-3], l.shape[-1]
+    if l.ndim > 3:
+        return jax.vmap(solve_lower)(l, b)
+    if b.ndim == 2:
+        return solve_lower(l, b[:, None, :])[:, 0, :]
+    m = b.shape[-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def body(i, x):
+        # s = B[i] - sum_{t<i} L[i,t] x[t]
+        li = jnp.where((rows < i)[:, None], l[i, :, :], 0.0)  # (n,K)
+        acc = core.sum_(core.mul(li[:, None, :], x), axis=0)  # (m,K)
+        s = core.sub(b[i], acc)
+        xi = core.div(s, jnp.broadcast_to(l[i, i], (m, k)))
+        return jax.lax.dynamic_update_slice(x, xi[None, :, :], (i, 0, 0))
+
+    x0 = jnp.zeros_like(b)
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+@jax.jit
+def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
+    """X = L^{-T} B by backward substitution."""
+    n, k = l.shape[-3], l.shape[-1]
+    if l.ndim > 3:
+        return jax.vmap(solve_lower_t)(l, b)
+    if b.ndim == 2:
+        return solve_lower_t(l, b[:, None, :])[:, 0, :]
+    m = b.shape[-2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def body(t, x):
+        i = n - 1 - t
+        # s = B[i] - sum_{r>i} L[r,i] x[r]
+        ci = jnp.where((rows > i)[:, None], l[:, i, :], 0.0)  # (n,K)
+        acc = core.sum_(core.mul(ci[:, None, :], x), axis=0)
+        s = core.sub(b[i], acc)
+        xi = core.div(s, jnp.broadcast_to(l[i, i], (m, k)))
+        return jax.lax.dynamic_update_slice(x, xi[None, :, :], (i, 0, 0))
+
+    x0 = jnp.zeros_like(b)
+    return jax.lax.fori_loop(0, n, body, x0)
+
+
+def cholesky_solve(l: MPArray, b: MPArray) -> MPArray:
+    """A^{-1} B given A = L L^T (the reference's cholesky_solve,
+    `run/step/compute_search_direction/cholesky_solve.cxx`)."""
+    return solve_lower_t(l, solve_lower(l, b))
+
+
+def lower_inverse_congruence(l: MPArray, a: MPArray) -> MPArray:
+    """L^{-1} A L^{-T} for symmetric A
+    (`run/step/step_length/lower_triangular_inverse_congruence.cxx`)."""
+    z = solve_lower(l, a)
+    return transpose(solve_lower(l, transpose(z)))
+
+
+def cholesky_condition_estimate(l: MPArray):
+    """(max diag / min diag)^2 estimate, as the reference's
+    `sdpb_util/cholesky_condition_number.hxx` (f64 is plenty)."""
+    d = core.fst(diag(l))
+    return (jnp.max(d) / jnp.min(d)) ** 2
