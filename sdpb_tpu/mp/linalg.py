@@ -100,7 +100,8 @@ def add_diag(a: MPArray, s) -> MPArray:
 
 
 def trace(a: MPArray) -> MPArray:
-    return core.sum_(diag(a), axis=-2)
+    """Sum of the diagonal (no leading batch dims)."""
+    return core.sum_(diag(a), axis=0)
 
 
 def frobenius(a: MPArray, b: MPArray) -> MPArray:
