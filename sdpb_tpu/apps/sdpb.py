@@ -1,0 +1,182 @@
+"""`sdpb` CLI: solve an SDP directory, reference-compatible flags.
+
+Mirrors `src/sdpb/main.cxx` + `SDPB_Parameters.cxx:22-73` +
+`Solver_Parameters/Solver_Parameters.cxx:10-157` (same names and
+defaults).  Outputs: out/out.txt, out/y.txt, out/x_<i>.txt,
+out/iterations.json, out/c_minus_By/c_minus_By.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sdpb",
+        description="TPU-native SDPB: arbitrary-precision SDP solver "
+                    "for polynomial matrix programs")
+    p.add_argument("-s", "--sdpDir", required=True,
+                   help="Directory (or .zip) containing the SDP")
+    p.add_argument("-o", "--outDir", default=None,
+                   help="Output directory (default: <sdpDir sibling>/out)")
+    p.add_argument("-p", "--precision", type=int, default=400,
+                   help="Binary precision (bits)")
+    p.add_argument("--maxIterations", type=int, default=500)
+    p.add_argument("--maxRuntime", type=float, default=2 ** 53)
+    p.add_argument("--checkpointInterval", type=float, default=3600)
+    p.add_argument("--maxSharedMemory", default="0",
+                   help="Accepted for compatibility; TPU HBM is managed "
+                        "by XLA so this is a no-op")
+    p.add_argument("--dualityGapThreshold", default="1e-30")
+    p.add_argument("--primalErrorThreshold", default="1e-30")
+    p.add_argument("--dualErrorThreshold", default="1e-30")
+    p.add_argument("--initialMatrixScalePrimal", default="1e20")
+    p.add_argument("--initialMatrixScaleDual", default="1e20")
+    p.add_argument("--feasibleCenteringParameter", default="0.1")
+    p.add_argument("--infeasibleCenteringParameter", default="0.3")
+    p.add_argument("--stepLengthReduction", type=float, default=0.7)
+    p.add_argument("--minPrimalStep", default="0")
+    p.add_argument("--minDualStep", default="0")
+    p.add_argument("--maxComplementarity", default="1e100")
+    p.add_argument("--findPrimalFeasible", action="store_true")
+    p.add_argument("--findDualFeasible", action="store_true")
+    p.add_argument("--detectPrimalFeasibleJump", action="store_true")
+    p.add_argument("--detectDualFeasibleJump", action="store_true")
+    p.add_argument("--writeSolution", default="x,y",
+                   help="Comma-separated subset of x,y,z,X,Y")
+    p.add_argument("--noFinalCheckpoint", action="store_true")
+    p.add_argument("-c", "--checkpointDir", default=None)
+    p.add_argument("-i", "--initialCheckpointDir", default=None)
+    p.add_argument("--verbosity", type=int, default=1,
+                   help="0=none, 1=regular, 2=debug, 3=trace")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # CPU + x64: solver numerics need IEEE f64 words (conftest notes:
+    # the TPU's f64 emulation is not correctly rounded; the TPU is used
+    # via the integer ops path, not the driver loop word arithmetic).
+    import jax
+
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    cache = os.environ.get("SDPB_TPU_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/sdpb_tpu_xla"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import pathlib
+
+    from ..io import output as out_io
+    from ..io.sdp_json import read_sdp
+    from ..solver import SolverParams, problem_from_raw, solve
+    from ..solver.checkpoint import load_checkpoint, save_checkpoint
+
+    params = SolverParams(
+        precision=args.precision,
+        max_iterations=args.maxIterations,
+        max_runtime=args.maxRuntime,
+        checkpoint_interval=args.checkpointInterval,
+        duality_gap_threshold=args.dualityGapThreshold,
+        primal_error_threshold=args.primalErrorThreshold,
+        dual_error_threshold=args.dualErrorThreshold,
+        initial_matrix_scale_primal=args.initialMatrixScalePrimal,
+        initial_matrix_scale_dual=args.initialMatrixScaleDual,
+        feasible_centering_parameter=args.feasibleCenteringParameter,
+        infeasible_centering_parameter=args.infeasibleCenteringParameter,
+        step_length_reduction=args.stepLengthReduction,
+        min_primal_step=args.minPrimalStep,
+        min_dual_step=args.minDualStep,
+        max_complementarity=args.maxComplementarity,
+        find_primal_feasible=args.findPrimalFeasible,
+        find_dual_feasible=args.findDualFeasible,
+        detect_primal_feasible_jump=args.detectPrimalFeasibleJump,
+        detect_dual_feasible_jump=args.detectDualFeasibleJump,
+    )
+
+    sdp_dir = pathlib.Path(args.sdpDir)
+    out_dir = pathlib.Path(args.outDir) if args.outDir else \
+        sdp_dir.parent / "out"
+    ck_dir = pathlib.Path(args.checkpointDir) if args.checkpointDir else \
+        sdp_dir.parent / "ck"
+
+    t_start = time.time()
+    raw = read_sdp(sdp_dir, k=params.n_words)
+    problem = problem_from_raw(raw)
+    if args.verbosity >= 1:
+        dims = sum(b.shape.schur_size for b in problem.blocks)
+        print(f"SDPB-TPU started at {time.strftime('%Y-%m-%d %H:%M:%S')}")
+        print(f"SDP directory   : {sdp_dir}")
+        print(f"out directory   : {out_dir}")
+        print(f"\tprimal dimension: {dims}\n"
+              f"\tdual dimension: {problem.dual_dim}\n"
+              f"\tSDP blocks: {len(problem.blocks)}")
+
+    state = None
+    if args.initialCheckpointDir or (ck_dir / "checkpoint.json").exists():
+        ck_in = pathlib.Path(args.initialCheckpointDir or ck_dir)
+        state = load_checkpoint(ck_in, problem, params)
+        if state is not None and args.verbosity >= 1:
+            print(f"Loaded checkpoint from {ck_in}")
+
+    # SIGTERM drain (`Environment.cxx:12-18`, `run.cxx:330-360`)
+    sigterm = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        sigterm["flag"] = True
+
+    old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
+    it_writer = out_io.IterationsJsonWriter(out_dir / "iterations.json")
+    last_ck = {"t": time.time()}
+
+    def hook(rec, cur_state):
+        it_writer.write(rec, total_time=time.time() - t_start)
+        if args.verbosity >= 1:
+            print(f"it {rec.iteration:3d} mu={rec.mu[:10]:>10} "
+                  f"gap={rec.duality_gap[:10]:>10} "
+                  f"steps=({rec.primal_step:.4f},{rec.dual_step:.4f})")
+        if time.time() - last_ck["t"] >= params.checkpoint_interval:
+            save_checkpoint(ck_dir, cur_state, problem, params)
+            last_ck["t"] = time.time()
+        if sigterm["flag"]:
+            raise KeyboardInterrupt("SIGTERM")
+
+    try:
+        result = solve(problem, params, state=state, iteration_hook=hook)
+    except KeyboardInterrupt:
+        it_writer.close()
+        signal.signal(signal.SIGTERM, old_handler)
+        if args.verbosity >= 1:
+            print("SIGTERM received; checkpoint written")
+        return 143
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
+
+    it_writer.close()
+    runtime = int(time.time() - t_start)
+
+    if not args.noFinalCheckpoint:
+        save_checkpoint(ck_dir, result.state, problem, params)
+    out_io.save_solution(out_dir, result, problem, runtime,
+                         write_solution=args.writeSolution,
+                         normalization=raw.normalization)
+    out_io.save_c_minus_By(out_dir / "c_minus_By" / "c_minus_By.json",
+                           problem, result.state.y)
+    if args.verbosity >= 1:
+        print(f"terminateReason = \"{result.reason.value}\"")
+        print(f"primalObjective = {result.primal_objective[:50]}...")
+        print(f"Solver runtime  = {runtime}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,6 +52,9 @@ class IterationRecord:
     dual_step: float
     beta_corrector: str
     iter_time: float
+    q_cond: float = 0.0
+    max_block_cond: float = 0.0
+    max_block_cond_name: str = ""
 
 
 @dataclasses.dataclass
@@ -158,6 +161,9 @@ def solve(problem: SDPProblem, params: SolverParams,
             dual_step=dual_step,
             beta_corrector=dec(info.beta_corrector),
             iter_time=time.time() - t0,
+            q_cond=info.q_cond,
+            max_block_cond=info.max_block_cond,
+            max_block_cond_name=info.max_block_cond_name,
         )
         records.append(rec)
         if iteration_hook is not None:

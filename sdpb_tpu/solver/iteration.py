@@ -289,6 +289,9 @@ class StepInfo(NamedTuple):
     dual_step: jax.Array
     R_error: jax.Array
     terminate_max_complementarity: jax.Array
+    q_cond: float = 0.0
+    max_block_cond: float = 0.0
+    max_block_cond_name: str = ""
 
 
 # --- Phase 2a: Schur factorization -----------------------------------------
@@ -537,10 +540,28 @@ def compute_step(problem: SDPProblem, state: SolverState, res: Residues,
         problem, state, res, dx, dX, dy, dY, feasible,
         params.step_length_reduction)
 
+    # Cholesky condition estimates ((max diag / min diag)^2, f64; the
+    # reference's update_cond_numbers.hxx / cholesky_condition_number.hxx)
+    q_cond = float(la.cholesky_condition_estimate(L_Q))
+    max_c, max_name = 0.0, ""
+    for i, bl in enumerate(problem.blocks):
+        c = float(la.cholesky_condition_estimate(L_S[i]))
+        if c > max_c:
+            max_c, max_name = c, f"schur_complement_cholesky.block_{i}"
+        for p_ in _parities(bl):
+            c = float(la.cholesky_condition_estimate(res.L_X[i][p_]))
+            if c > max_c:
+                max_c, max_name = c, f"X_cholesky.block_{i}_{p_}"
+            c = float(la.cholesky_condition_estimate(res.L_Y[i][p_]))
+            if c > max_c:
+                max_c, max_name = c, f"Y_cholesky.block_{i}_{p_}"
+
     info = StepInfo(mu=mu, beta_corrector=beta_corrector,
                     primal_step=alpha_p, dual_step=alpha_d,
                     R_error=R_error,
-                    terminate_max_complementarity=terminate_max_c)
+                    terminate_max_complementarity=terminate_max_c,
+                    q_cond=q_cond, max_block_cond=max_c,
+                    max_block_cond_name=max_name)
     return new_state, info
 
 
