@@ -78,6 +78,7 @@ def main(argv=None) -> int:
     from ..io import output as out_io
     from ..io.sdp_json import read_sdp
     from ..solver import SolverParams, problem_from_raw, solve
+    from ..solver.data import bucketize
     from ..solver.checkpoint import load_checkpoint, save_checkpoint
 
     params = SolverParams(
@@ -110,15 +111,15 @@ def main(argv=None) -> int:
 
     t_start = time.time()
     raw = read_sdp(sdp_dir, k=params.n_words)
-    problem = problem_from_raw(raw)
+    problem = bucketize(problem_from_raw(raw))
     if args.verbosity >= 1:
-        dims = sum(b.shape.schur_size for b in problem.blocks)
+        dims = sum(bk.nb * bk.shape.schur_size for bk in problem.buckets)
         print(f"SDPB-TPU started at {time.strftime('%Y-%m-%d %H:%M:%S')}")
         print(f"SDP directory   : {sdp_dir}")
         print(f"out directory   : {out_dir}")
         print(f"\tprimal dimension: {dims}\n"
               f"\tdual dimension: {problem.dual_dim}\n"
-              f"\tSDP blocks: {len(problem.blocks)}")
+              f"\tSDP blocks: {problem.num_blocks}")
 
     state = None
     if args.initialCheckpointDir or (ck_dir / "checkpoint.json").exists():

@@ -77,6 +77,24 @@ def make_z(y_mp, normalization: list[str]):
     return np.stack([mpdec.from_mpf(v, k) for v in z_vals])
 
 
+def iter_solution_blocks(problem, state):
+    """Yield (block_index, shape, x, (X_even, X_odd), (Y_even, Y_odd))
+    in original block order, for either block-list or bucketed
+    problem/state representations."""
+    if hasattr(problem, "buckets"):
+        for j in range(problem.num_blocks):
+            shape = None
+            for bk in problem.buckets:
+                if j in bk.block_indices:
+                    shape = bk.shape
+            yield (j, shape, state.block_x(problem, j),
+                   state.block_XY(problem, j, "X"),
+                   state.block_XY(problem, j, "Y"))
+    else:
+        for j, bl in enumerate(problem.blocks):
+            yield (j, bl.shape, state.x[j], state.X[j], state.Y[j])
+
+
 def save_solution(out_dir, result, problem, runtime_seconds: int,
                   write_solution: str = "x,y",
                   normalization: list[str] | None = None) -> None:
@@ -95,22 +113,30 @@ def save_solution(out_dir, result, problem, runtime_seconds: int,
                 "--writeSolution=z requires a normalization "
                 "(normalization.json in the SDP input)")
         write_vector(out_dir / "z.txt", make_z(state.y, normalization))
-    for i, bl in enumerate(problem.blocks):
+    for j, shape, x_j, X_j, Y_j in iter_solution_blocks(problem, state):
         if "x" in parts:
-            write_vector(out_dir / f"x_{i}.txt", state.x[i])
+            write_vector(out_dir / f"x_{j}.txt", x_j)
         for parity in (0, 1):
-            if bl.shape.psd_size(parity) == 0:
+            if shape.psd_size(parity) == 0:
                 continue
             if "X" in parts:
-                write_matrix(out_dir / f"X_matrix_{2 * i + parity}.txt",
-                             state.X[i][parity])
+                write_matrix(out_dir / f"X_matrix_{2 * j + parity}.txt",
+                             X_j[parity])
             if "Y" in parts:
-                write_matrix(out_dir / f"Y_matrix_{2 * i + parity}.txt",
-                             state.Y[i][parity])
+                write_matrix(out_dir / f"Y_matrix_{2 * j + parity}.txt",
+                             Y_j[parity])
 
 
 def compute_c_minus_By(problem, y):
-    """Per-block c - B y (for spectrum; `run/save_c_minus_By.hxx`)."""
+    """Per-block c - B y (for spectrum; `run/save_c_minus_By.hxx`),
+    in original block order."""
+    if hasattr(problem, "buckets"):
+        out = {}
+        for bk in problem.buckets:
+            for pos, j in enumerate(bk.block_indices):
+                by = la.matvec(bk.B[pos], y)
+                out[j] = np.asarray(mpcore.sub(bk.c[pos], by))
+        return [out[j] for j in sorted(out)]
     out = []
     for bl in problem.blocks:
         by = la.matvec(bl.B, y)

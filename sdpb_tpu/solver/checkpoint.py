@@ -31,7 +31,10 @@ from .data import SDPProblem, SolverState
 _VERSION = "sdpb-tpu-0.1"
 
 
-def _flatten_state(state: SolverState) -> dict:
+def _flatten_state(state) -> dict:
+    """Keyed arrays for either state representation.  Bucketed states
+    store per-bucket stacks (restart re-derives the same deterministic
+    bucketization from the SDP, so keys line up)."""
     out = {"y": np.asarray(state.y)}
     for i, x in enumerate(state.x):
         out[f"x_{i}"] = np.asarray(x)
@@ -39,6 +42,11 @@ def _flatten_state(state: SolverState) -> dict:
             out[f"X_{i}_{p}"] = np.asarray(state.X[i][p])
             out[f"Y_{i}_{p}"] = np.asarray(state.Y[i][p])
     return out
+
+
+def _n_groups(problem) -> int:
+    return len(problem.buckets) if hasattr(problem, "buckets") else \
+        len(problem.blocks)
 
 
 def save_checkpoint(ck_dir, state: SolverState, problem: SDPProblem,
@@ -69,7 +77,8 @@ def save_checkpoint(ck_dir, state: SolverState, problem: SDPProblem,
         "version": _VERSION,
         "current": new_gen,
         "backup": current,
-        "num_blocks": len(problem.blocks),
+        "num_blocks": (problem.num_blocks if hasattr(problem, "buckets")
+                       else len(problem.blocks)),
         "options": dataclasses.asdict(params),
         "time": time.time(),
     }
@@ -106,12 +115,16 @@ def load_checkpoint(ck_dir, problem: SDPProblem, params) -> SolverState | None:
             with np.load(path) as z:
                 y = jnp.asarray(z["y"])
                 x, X, Y = [], [], []
-                for i in range(len(problem.blocks)):
+                for i in range(_n_groups(problem)):
                     x.append(jnp.asarray(z[f"x_{i}"]))
                     X.append(tuple(jnp.asarray(z[f"X_{i}_{p}"])
                                    for p in range(2)))
                     Y.append(tuple(jnp.asarray(z[f"Y_{i}_{p}"])
                                    for p in range(2)))
+            if hasattr(problem, "buckets"):
+                from .data import BucketedState
+
+                return BucketedState(x=x, y=y, X=X, Y=Y)
             return SolverState(x=x, y=y, X=X, Y=Y)
         except (OSError, KeyError, ValueError):
             continue
@@ -125,6 +138,8 @@ def _load_text_checkpoint(ck_dir, problem, params) -> SolverState | None:
     ck_dir = pathlib.Path(ck_dir)
     if not (ck_dir / "y.txt").exists():
         return None
+    if hasattr(problem, "buckets"):
+        return _load_text_checkpoint_bucketed(ck_dir, problem, params)
     from ..io.text_io import read_text_vector, read_text_matrix
 
     k = params.n_words
@@ -145,3 +160,34 @@ def _load_text_checkpoint(ck_dir, problem, params) -> SolverState | None:
         X.append(tuple(Xp))
         Y.append(tuple(Yp))
     return SolverState(x=x, y=y, X=X, Y=Y)
+
+
+def _load_text_checkpoint_bucketed(ck_dir, problem, params):
+    """Text-checkpoint loading into a bucketed state (per-block files
+    regrouped into bucket stacks)."""
+    import pathlib
+
+    from ..io.text_io import read_text_vector, read_text_matrix
+    from .data import BucketedState
+
+    ck_dir = pathlib.Path(ck_dir)
+    k = params.n_words
+    y = jnp.asarray(read_text_vector(ck_dir / "y.txt", k))
+    x, X, Y = [], [], []
+    for bk in problem.buckets:
+        xs, Xs, Ys = [], [[], []], [[], []]
+        for j in bk.block_indices:
+            xs.append(read_text_vector(ck_dir / f"x_{j}.txt", k))
+            for p in range(2):
+                if bk.shape.psd_size(p) == 0:
+                    Xs[p].append(np.zeros((0, 0, k)))
+                    Ys[p].append(np.zeros((0, 0, k)))
+                    continue
+                Xs[p].append(read_text_matrix(
+                    ck_dir / f"X_matrix_{2 * j + p}.txt", k))
+                Ys[p].append(read_text_matrix(
+                    ck_dir / f"Y_matrix_{2 * j + p}.txt", k))
+        x.append(jnp.asarray(np.stack(xs)))
+        X.append(tuple(jnp.asarray(np.stack(Xs[p])) for p in range(2)))
+        Y.append(tuple(jnp.asarray(np.stack(Ys[p])) for p in range(2)))
+    return BucketedState(x=x, y=y, X=X, Y=Y)

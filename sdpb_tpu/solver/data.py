@@ -187,3 +187,151 @@ def initial_state(problem: SDPProblem, scale_primal, scale_dual,
          for (Xe, Xo) in X]
     y = mpcore.zeros((problem.dual_dim,), k, dtype=dtype)
     return SolverState(x=x, y=y, X=X, Y=Y)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed representation: blocks grouped by identical shape and stacked
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SDPBucket:
+    """nb same-shape blocks stacked on a leading axis.  This is the
+    unit of vmap (single device) and of mesh sharding (multi device):
+    one compiled kernel serves every block in the bucket, which is what
+    makes many-block problems (the reference's typical J ~ hundreds,
+    `Block_Info`) compile in O(#shapes) instead of O(J)."""
+
+    c: jax.Array          # (nb, schur, K)
+    B: jax.Array          # (nb, schur, N, K)
+    q: tuple              # ((nb, he, pts, K), (nb, ho, pts, K))
+    u: tuple              # ((nb, m*he, m*pts, K), ...)
+    shape: BlockShape = dataclasses.field(metadata={"static": True})
+    block_indices: tuple = ()   # original block ids, static
+
+    @property
+    def nb(self) -> int:
+        return self.c.shape[0]
+
+    def block_view(self, arrays=None):
+        """SDPBlock view whose arrays keep the leading nb axis (for
+        vmap over the per-block kernels)."""
+        return SDPBlock(c=self.c, B=self.B, q=self.q, u=self.u,
+                        shape=self.shape)
+
+    def tree_flatten(self):
+        return (self.c, self.B, self.q, self.u), (self.shape,
+                                                  self.block_indices)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        c, B, q, u = children
+        return cls(c=c, B=B, q=q, u=u, shape=aux[0], block_indices=aux[1])
+
+
+def bucketize(problem: SDPProblem) -> "BucketedProblem":
+    """Group an SDPProblem's blocks by BlockShape into stacked buckets."""
+    groups: dict = {}
+    for j, bl in enumerate(problem.blocks):
+        groups.setdefault(bl.shape, []).append(j)
+    buckets = []
+    for shape, idxs in groups.items():
+        blocks = [problem.blocks[j] for j in idxs]
+        buckets.append(SDPBucket(
+            c=jnp.stack([b.c for b in blocks]),
+            B=jnp.stack([b.B for b in blocks]),
+            q=tuple(jnp.stack([b.q[p] for b in blocks]) for p in range(2)),
+            u=tuple(jnp.stack([b.u[p] for b in blocks]) for p in range(2)),
+            shape=shape,
+            block_indices=tuple(idxs),
+        ))
+    return BucketedProblem(
+        objective_const=problem.objective_const,
+        b=problem.b,
+        buckets=buckets,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BucketedProblem:
+    objective_const: jax.Array
+    b: jax.Array
+    buckets: list
+
+    @property
+    def dual_dim(self):
+        return self.b.shape[0]
+
+    @property
+    def num_blocks(self):
+        return sum(bk.nb for bk in self.buckets)
+
+    @property
+    def total_psd_rows(self):
+        return sum(bk.nb * sum(bk.shape.psd_sizes) for bk in self.buckets)
+
+    def tree_flatten(self):
+        return (self.objective_const, self.b, self.buckets), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BucketedState:
+    """Iterate (x, y, X, Y) with per-bucket stacked blocks."""
+
+    x: list       # [(nb, schur, K)]
+    y: jax.Array  # (N, K)
+    X: list       # [((nb, se, se, K), (nb, so, so, K))]
+    Y: list
+
+    def tree_flatten(self):
+        return (self.x, self.y, self.X, self.Y), None
+
+    @classmethod
+    def tree_unflatten(cls, _, children):
+        return cls(*children)
+
+    # -- per-original-block accessors for IO/checkpoint ------------------
+    def block_x(self, problem: BucketedProblem, j: int):
+        bi, pos = _locate(problem, j)
+        return self.x[bi][pos]
+
+    def block_XY(self, problem: BucketedProblem, j: int, which: str = "X"):
+        bi, pos = _locate(problem, j)
+        mats = self.X if which == "X" else self.Y
+        return tuple(mats[bi][p][pos] for p in range(2))
+
+
+def _locate(problem: BucketedProblem, j: int):
+    for bi, bk in enumerate(problem.buckets):
+        if j in bk.block_indices:
+            return bi, bk.block_indices.index(j)
+    raise KeyError(j)
+
+
+def initial_bucketed_state(problem: BucketedProblem, scale_primal,
+                           scale_dual) -> BucketedState:
+    """Cold start x = y = 0, X = Omega_p I, Y = Omega_d I."""
+    k = problem.b.shape[-1]
+    dtype = problem.b.dtype
+
+    def eye(nb, n, scale):
+        m = jnp.zeros((nb, n, n, k), dtype=dtype)
+        if n == 0:
+            return m
+        return m.at[:, jnp.arange(n), jnp.arange(n), 0].set(
+            jnp.asarray(scale, dtype))
+
+    x, X, Y = [], [], []
+    for bk in problem.buckets:
+        se, so = bk.shape.psd_sizes
+        x.append(jnp.zeros((bk.nb, bk.shape.schur_size, k), dtype=dtype))
+        X.append((eye(bk.nb, se, scale_primal), eye(bk.nb, so, scale_primal)))
+        Y.append((eye(bk.nb, se, scale_dual), eye(bk.nb, so, scale_dual)))
+    return BucketedState(x=x, y=jnp.zeros((problem.dual_dim, k), dtype=dtype),
+                         X=X, Y=Y)

@@ -18,8 +18,9 @@ import mpmath
 import numpy as np
 
 from ..mp import decimal as mpdec
-from . import iteration
-from .data import SDPProblem, SolverState, initial_state
+from . import bucket_iteration, iteration
+from .data import (BucketedProblem, SDPProblem, SolverState,
+                   initial_bucketed_state, initial_state)
 from .params import SolverParams
 
 
@@ -79,8 +80,11 @@ def solve(problem: SDPProblem, params: SolverParams,
           state: SolverState | None = None, verbose: bool = False,
           iteration_hook=None) -> SolveResult:
     """Run the interior-point loop to termination."""
+    bucketed = isinstance(problem, BucketedProblem)
+    it_mod = bucket_iteration if bucketed else iteration
     if state is None:
-        state = initial_state(
+        init = initial_bucketed_state if bucketed else initial_state
+        state = init(
             problem,
             float(params.initial_matrix_scale_primal),
             float(params.initial_matrix_scale_dual),
@@ -98,7 +102,7 @@ def solve(problem: SDPProblem, params: SolverParams,
     while True:
         it += 1
         t0 = time.time()
-        res = iteration.compute_residues(problem, state)
+        res = it_mod.compute_residues(problem, state)
 
         p_err_P = _mpf_of(res.primal_error_P, prec)
         p_err_p = _mpf_of(res.primal_error_p, prec)
@@ -137,7 +141,7 @@ def solve(problem: SDPProblem, params: SolverParams,
         if terminate:
             break
 
-        state, info = iteration.compute_step_jit(
+        state, info = it_mod.compute_step(
             problem, state, res, params, feasible)
 
         if bool(np.asarray(info.terminate_max_complementarity)):
