@@ -65,7 +65,13 @@ def main(argv=None) -> int:
     # via the integer ops path, not the driver loop word arithmetic).
     import jax
 
-    if jax.default_backend() != "tpu":
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # JAX_PLATFORMS names a plugin that failed to register
+        # (e.g. no TPU attached); fall back to CPU.
+        backend = "cpu"
+    if backend != "tpu":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     cache = os.environ.get("SDPB_TPU_COMPILE_CACHE",
