@@ -16,6 +16,13 @@ from .core import DEFAULT_K
 _GUARD_BITS = 40
 
 
+def _native():
+    """The C codec (csrc/codec.cpp) when built; None -> mpmath path."""
+    from ..io import native_codec
+
+    return native_codec if native_codec.available() else None
+
+
 def _ctx(k: int) -> mpmath.MPContext:
     ctx = mpmath.mp.clone()
     ctx.prec = 53 * k + _GUARD_BITS
@@ -36,6 +43,9 @@ def from_mpf(x, k: int = DEFAULT_K) -> np.ndarray:
 
 
 def from_decimal(s: str, k: int = DEFAULT_K) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        return nat.dec2words(s, k)
     ctx = _ctx(k)
     return from_mpf(ctx.mpf(s.strip()), k)
 
@@ -53,12 +63,28 @@ def to_mpf(words, ctx: mpmath.MPContext | None = None):
 
 
 def to_decimal(words, digits: int | None = None) -> str:
-    """Decimal string with full round-trip precision for K words."""
+    """Decimal string with full round-trip precision for K words.
+
+    Default digit count comes from the words' actual exponent span
+    (greedy expansions can have gaps, so 53*K digits is not always
+    enough for an exact round trip)."""
     words = np.asarray(words, dtype=np.float64)
+    nat = _native()
+    if nat is not None:
+        out = nat.words2dec(words, digits or 0)
+        if out is not None:
+            return out
     k = words.shape[-1]
     ctx = _ctx(k)
     if digits is None:
-        digits = int(np.ceil(53 * k * 0.30103)) + 2
+        nz = words[words != 0]
+        if nz.size:
+            _, e_hi = np.frexp(np.max(np.abs(nz)))
+            _, e_lo = np.frexp(np.min(np.abs(nz)))
+            span = int(e_hi) - int(e_lo) + 53
+        else:
+            span = 53 * k
+        digits = int(np.ceil(span * 0.30103)) + 2
     return ctx.nstr(
         to_mpf(words, ctx), digits, strip_zeros=True, min_fixed=1, max_fixed=0
     )
@@ -67,8 +93,12 @@ def to_decimal(words, digits: int | None = None) -> str:
 def array_from_decimal(strings, k: int = DEFAULT_K) -> np.ndarray:
     """Vectorized from_decimal over a nested list of strings."""
     arr = np.asarray(strings, dtype=object)
-    out = np.zeros(arr.shape + (k,), dtype=np.float64)
     flat_in = arr.reshape(-1)
+    nat = _native()
+    if nat is not None:
+        out = nat.dec2words_batch(list(flat_in), k)
+        return out.reshape(arr.shape + (k,))
+    out = np.zeros(arr.shape + (k,), dtype=np.float64)
     flat_out = out.reshape(-1, k)
     for i, s in enumerate(flat_in):
         flat_out[i] = from_decimal(s, k)
