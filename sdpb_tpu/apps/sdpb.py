@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--initialCheckpointDir", default=None)
     p.add_argument("--verbosity", type=int, default=1,
                    help="0=none, 1=regular, 2=debug, 3=trace")
+    # obsolete in the reference too (`SDPB_Parameters.cxx:22-73`);
+    # accepted and ignored for compatibility
+    p.add_argument("--procsPerNode", type=int, default=None,
+                   help="[OBSOLETE] determined automatically")
+    p.add_argument("--procGranularity", type=int, default=None,
+                   help="[OBSOLETE]")
     return p
 
 
@@ -157,8 +163,49 @@ def main(argv=None) -> int:
         if sigterm["flag"]:
             raise KeyboardInterrupt("SIGTERM")
 
+    from ..utils.timers import Timers, Verbosity, rotate_profiling_dir
+
+    timers = Timers(Verbosity(min(args.verbosity, 3)))
+
+    def write_profiling():
+        """ck.profiling/profiling.<rank> at debug+ verbosity
+        (`sdpb/main.cxx:118-137`, rank is always 0 here: one host
+        process drives the whole mesh)."""
+        if args.verbosity >= 2:
+            prof_dir = rotate_profiling_dir(
+                ck_dir.parent / (ck_dir.name + ".profiling"))
+            timers.write_profile(prof_dir / "profiling.0")
+            if timers.max_mem_used:
+                print(f"max MemUsed: {timers.max_mem_used / 2**30:.2f} GB "
+                      f"at {timers.max_mem_used_name}")
+
+    def write_block_timings():
+        """ck/block_timings: per-block cost estimates for the placement
+        pass.  The reference measures per-block MPI wall time
+        (`write_timing.cxx`); here all blocks step inside one XLA
+        program, so costs come from the flop model that also drives the
+        mesh sharding (schur^3 + bilinear terms)."""
+        ck_dir.mkdir(parents=True, exist_ok=True)
+        costs = []
+        for bk in problem.buckets:
+            s = bk.shape.schur_size
+            he, ho = bk.shape.he, bk.shape.ho
+            m, pts = bk.shape.m, bk.shape.pts
+            cost = (s ** 3 + 2 * s * s * problem.dual_dim
+                    + 2 * (m * he) ** 3 + 2 * (m * ho) ** 3
+                    + 2 * (m * pts) * (m * he) ** 2
+                    + 2 * (m * pts) * (m * ho) ** 2)
+            costs.extend([(j, cost) for j in bk.block_indices])
+        costs.sort()
+        (ck_dir / "block_timings").write_text(
+            "\n".join(str(int(c)) for _, c in costs) + "\n")
+
     try:
-        result = solve(problem, params, state=state, iteration_hook=hook)
+        with timers.scoped("sdpb.solve"):
+            result = solve(problem, params, state=state,
+                           iteration_hook=hook, timers=timers)
+        write_block_timings()
+        write_profiling()
     except KeyboardInterrupt:
         it_writer.close()
         signal.signal(signal.SIGTERM, old_handler)

@@ -33,6 +33,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MPArray = jax.Array
 
@@ -311,7 +312,13 @@ def sub(a: MPArray, b: MPArray) -> MPArray:
 # ---------------------------------------------------------------------------
 
 def mul(a: MPArray, b: MPArray) -> MPArray:
-    """MP * MP, truncated product (error O(2^-wK) relative)."""
+    """MP * MP, truncated product (error O(2^-wK) relative).
+
+    All k^2 partial products run through ONE vectorized two_prod on a
+    (..., k, k) grid (graph size O(1) in k); products of significance
+    level l = i + j participate as in the classic expansion product:
+    l < k exact (two_prod), l == k value only, l > k dropped.
+    """
     k = a.shape[-1]
     assert b.shape[-1] == k, (a.shape, b.shape)
     if k == 1:
@@ -321,21 +328,12 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
         e = e + (a[..., 0] * b[..., 1] + a[..., 1] * b[..., 0])
         p, e = fast_two_sum(p, e)
         return jnp.stack([p, e], axis=-1)
-    # Partial products by significance level l = i + j.
-    # Levels l < k: exact two_prod (error lands in level l+1).
-    # Level  l == k: plain products (their own error is below truncation).
-    levels: list[list] = [[] for _ in range(k + 2)]
-    for i in range(k):
-        for j in range(k):
-            l = i + j
-            if l < k:
-                p, e = two_prod(a[..., i], b[..., j])
-                levels[l].append(p)
-                levels[l + 1].append(e)
-            elif l == k:
-                levels[l].append(a[..., i] * b[..., j])
-    words = [w for lev in levels for w in lev]
-    return renorm_words(words, k)
+    p, e = two_prod(a[..., :, None], b[..., None, :])  # (..., k, k)
+    lvl = np.arange(k)[:, None] + np.arange(k)[None, :]
+    p = jnp.where(jnp.asarray(lvl <= k), p, 0.0)
+    e = jnp.where(jnp.asarray(lvl < k), e, 0.0)
+    words = jnp.concatenate([p, e], axis=-1)
+    return renorm_words(words.reshape(*words.shape[:-2], 2 * k * k), k)
 
 
 def mul_f64(a: MPArray, x) -> MPArray:
@@ -344,15 +342,10 @@ def mul_f64(a: MPArray, x) -> MPArray:
     x = jnp.broadcast_to(jnp.asarray(x, a.dtype), a.shape[:-1])
     if k == 1:
         return (a[..., 0] * x)[..., None]
-    words = []
-    for i in range(k):
-        if i < k - 1:
-            p, e = two_prod(a[..., i], x)
-            words.append(p)
-            words.append(e)
-        else:
-            words.append(a[..., i] * x)
-    return renorm_words(words, k)
+    # vectorized: exact two_prod for words 0..k-2, value-only for k-1
+    p, e = two_prod(a, x[..., None])
+    e = jnp.where(jnp.asarray(np.arange(k) < k - 1), e, 0.0)
+    return renorm_words(jnp.concatenate([p, e], axis=-1), k)
 
 
 def mul_scalar(a: MPArray, s) -> MPArray:
@@ -376,18 +369,21 @@ def mul_pow2(a: MPArray, c) -> MPArray:
 # ---------------------------------------------------------------------------
 
 def div(a: MPArray, b: MPArray) -> MPArray:
-    """MP / MP by long division (K+1 quotient terms, cf. QD library)."""
+    """MP / MP by long division (K+1 quotient terms, cf. QD library).
+    The quotient-digit recurrence is a lax.scan so the compiled graph
+    is O(1) in K."""
     k = a.shape[-1]
     if k == 1:
         return (a[..., 0] / b[..., 0])[..., None]
     b0 = b[..., 0]
-    q_words = []
-    r = a
-    for _ in range(k + 1):
+
+    def step(r, _):
         qi = r[..., 0] / b0
-        q_words.append(qi)
-        r = sub(r, mul_f64(b, qi))
-    return renorm_words(q_words, k, sort=False)
+        return sub(r, mul_f64(b, qi)), qi
+
+    _, q_words = jax.lax.scan(step, a, None, length=k + 1)
+    q = jnp.moveaxis(q_words, 0, -1)  # (..., k+1)
+    return renorm_words(q, k, sort=False)
 
 
 def recip(b: MPArray) -> MPArray:
@@ -407,11 +403,15 @@ def sqrt(a: MPArray) -> MPArray:
     y = from_f64(y0, k, dtype=a.dtype) if a.dtype == jnp.float64 else _seed(y0, k)
     half = 0.5
     # Each Newton step doubles correct bits: y <- y + y*(1 - a*y^2)/2.
+    # fori_loop keeps the graph size independent of the step count.
     n_steps = max(1, (k * word_bits(a) // (word_bits(a) - 3)).bit_length())
-    for _ in range(n_steps):
+
+    def newton(_, y):
         ay2 = mul(a, mul(y, y))
         corr = mul_pow2(mul(y, add_f64(-ay2, 1.0)), half)
-        y = add(y, corr)
+        return add(y, corr)
+
+    y = jax.lax.fori_loop(0, n_steps, newton, y)
     s = mul(a, y)
     # Heron correction: s <- s + (a - s^2) * y / 2.
     s = add(s, mul_pow2(mul(sub(a, mul(s, s)), y), half))

@@ -14,6 +14,7 @@ import dataclasses
 import enum
 import time
 
+import jax
 import mpmath
 import numpy as np
 
@@ -78,8 +79,11 @@ def _mpf_of(words, prec) -> mpmath.mpf:
 
 def solve(problem: SDPProblem, params: SolverParams,
           state: SolverState | None = None, verbose: bool = False,
-          iteration_hook=None) -> SolveResult:
-    """Run the interior-point loop to termination."""
+          iteration_hook=None, timers=None) -> SolveResult:
+    """Run the interior-point loop to termination.
+
+    ``timers`` (sdpb_tpu.utils.timers.Timers) records the reference's
+    dotted profile paths (run.iter_<n>.{residues,step}) when given."""
     bucketed = isinstance(problem, BucketedProblem)
     it_mod = bucket_iteration if bucketed else iteration
     if state is None:
@@ -98,11 +102,18 @@ def solve(problem: SDPProblem, params: SolverParams,
     primal_step = dual_step = 0.0
     dec = lambda w: mpdec.to_decimal(np.asarray(w))
 
+    if timers is None:
+        from ..utils.timers import Timers
+
+        timers = Timers()
+
     it = 0
     while True:
         it += 1
         t0 = time.time()
-        res = it_mod.compute_residues(problem, state)
+        with timers.scoped(f"run.iter_{it}.residues"):
+            res = it_mod.compute_residues(problem, state)
+            jax.block_until_ready(res.duality_gap)
 
         p_err_P = _mpf_of(res.primal_error_P, prec)
         p_err_p = _mpf_of(res.primal_error_p, prec)
@@ -141,8 +152,10 @@ def solve(problem: SDPProblem, params: SolverParams,
         if terminate:
             break
 
-        state, info = it_mod.compute_step(
-            problem, state, res, params, feasible)
+        with timers.scoped(f"run.iter_{it}.step"):
+            state, info = it_mod.compute_step(
+                problem, state, res, params, feasible)
+            jax.block_until_ready(state.y)
 
         if bool(np.asarray(info.terminate_max_complementarity)):
             reason = TerminateReason.MaxComplementarityExceeded
