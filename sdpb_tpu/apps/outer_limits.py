@@ -648,14 +648,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from ..utils import ensure_map_count
+
+    ensure_map_count()
+
     import jax
 
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        backend = "cpu"
-    if backend != "tpu":
-        jax.config.update("jax_platforms", "cpu")
+    # f64-word arithmetic requires IEEE f64 -> CPU (see apps/sdpb.py)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
     from ..pmp.core import make_ctx

@@ -9,6 +9,7 @@ out/iterations.json, out/c_minus_By/c_minus_By.json.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import signal
 import sys
@@ -54,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--initialCheckpointDir", default=None)
     p.add_argument("--verbosity", type=int, default=1,
                    help="0=none, 1=regular, 2=debug, 3=trace")
+    p.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+                   help="Execution backend for the f64-word solver. "
+                        "Default cpu: correctly-rounded IEEE f64 is "
+                        "required for the multi-word arithmetic, and "
+                        "TPU emulates f64 as an unrounded f32 pair. "
+                        "The TPU path uses f32 words / the integer MXU "
+                        "pipeline (sdpb_tpu.ops) instead.")
     # obsolete in the reference too (`SDPB_Parameters.cxx:22-73`);
     # accepted and ignored for compatibility
     p.add_argument("--procsPerNode", type=int, default=None,
@@ -71,14 +79,17 @@ def main(argv=None) -> int:
     # via the integer ops path, not the driver loop word arithmetic).
     import jax
 
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        # JAX_PLATFORMS names a plugin that failed to register
-        # (e.g. no TPU attached); fall back to CPU.
-        backend = "cpu"
-    if backend != "tpu":
+    if args.device == "cpu":
+        # NB: must happen before any backend is touched; the solver's
+        # f64-word arithmetic needs IEEE round-to-nearest f64, which
+        # TPUs do not provide (f32-pair emulation without rounding).
         jax.config.update("jax_platforms", "cpu")
+    else:
+        try:
+            jax.default_backend()
+        except RuntimeError:
+            # requested plugin failed to register; fall back to CPU
+            jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     cache = os.environ.get("SDPB_TPU_COMPILE_CACHE",
                            os.path.expanduser("~/.cache/sdpb_tpu_xla"))
@@ -86,6 +97,10 @@ def main(argv=None) -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import pathlib
+
+    from ..utils import ensure_map_count
+
+    ensure_map_count()
 
     from ..io import output as out_io
     from ..io.sdp_json import read_sdp
@@ -124,21 +139,43 @@ def main(argv=None) -> int:
     t_start = time.time()
     raw = read_sdp(sdp_dir, k=params.n_words)
     problem = bucketize(problem_from_raw(raw))
+
+    # Multi-chip: shard the block axis over every visible device
+    # (the reference's block data-parallelism over MPI ranks).
+    # host_problem stays unsharded for checkpoint/solution IO.
+    host_problem = problem
+    mesh_mod = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from jax.sharding import Mesh
+
+        from ..parallel import mesh as mesh_mod
+
+        import numpy as _np
+
+        mesh = Mesh(_np.array(jax.devices()), (mesh_mod.AXIS,))
+        problem = mesh_mod.shard_problem(problem, mesh)
+        if args.verbosity >= 1:
+            print(f"sharding blocks over {n_dev} devices")
     if args.verbosity >= 1:
-        dims = sum(bk.nb * bk.shape.schur_size for bk in problem.buckets)
+        dims = sum(bk.nb * bk.shape.schur_size
+                   for bk in host_problem.buckets)
         print(f"SDPB-TPU started at {time.strftime('%Y-%m-%d %H:%M:%S')}")
         print(f"SDP directory   : {sdp_dir}")
         print(f"out directory   : {out_dir}")
         print(f"\tprimal dimension: {dims}\n"
-              f"\tdual dimension: {problem.dual_dim}\n"
-              f"\tSDP blocks: {problem.num_blocks}")
+              f"\tdual dimension: {host_problem.dual_dim}\n"
+              f"\tSDP blocks: {host_problem.num_blocks}")
 
     state = None
     if args.initialCheckpointDir or (ck_dir / "checkpoint.json").exists():
         ck_in = pathlib.Path(args.initialCheckpointDir or ck_dir)
-        state = load_checkpoint(ck_in, problem, params)
-        if state is not None and args.verbosity >= 1:
-            print(f"Loaded checkpoint from {ck_in}")
+        state = load_checkpoint(ck_in, host_problem, params)
+        if state is not None:
+            if mesh_mod is not None:
+                state = mesh_mod.shard_state(state, problem)
+            if args.verbosity >= 1:
+                print(f"Loaded checkpoint from {ck_in}")
 
     # SIGTERM drain (`Environment.cxx:12-18`, `run.cxx:330-360`)
     sigterm = {"flag": False}
@@ -154,14 +191,26 @@ def main(argv=None) -> int:
     def hook(rec, cur_state):
         it_writer.write(rec, total_time=time.time() - t_start)
         if args.verbosity >= 1:
-            print(f"it {rec.iteration:3d} mu={rec.mu[:10]:>10} "
-                  f"gap={rec.duality_gap[:10]:>10} "
+            import mpmath as _mp
+
+            def _sci(dec):
+                try:
+                    return f"{float(_mp.mpf(dec)):.3e}"
+                except (ValueError, OverflowError):
+                    return dec[:10]
+            print(f"it {rec.iteration:3d} mu={_sci(rec.mu):>10} "
+                  f"gap={_sci(rec.duality_gap):>10} "
                   f"steps=({rec.primal_step:.4f},{rec.dual_step:.4f})")
         if time.time() - last_ck["t"] >= params.checkpoint_interval:
-            save_checkpoint(ck_dir, cur_state, problem, params)
+            save_checkpoint(ck_dir, _host_state(cur_state), host_problem,
+                            params)
             last_ck["t"] = time.time()
         if sigterm["flag"]:
             raise KeyboardInterrupt("SIGTERM")
+
+    def _host_state(st):
+        return mesh_mod.unshard_state(st, problem) if mesh_mod is not None \
+            else st
 
     from ..utils.timers import Timers, Verbosity, rotate_profiling_dir
 
@@ -187,11 +236,11 @@ def main(argv=None) -> int:
         mesh sharding (schur^3 + bilinear terms)."""
         ck_dir.mkdir(parents=True, exist_ok=True)
         costs = []
-        for bk in problem.buckets:
+        for bk in host_problem.buckets:
             s = bk.shape.schur_size
             he, ho = bk.shape.he, bk.shape.ho
             m, pts = bk.shape.m, bk.shape.pts
-            cost = (s ** 3 + 2 * s * s * problem.dual_dim
+            cost = (s ** 3 + 2 * s * s * host_problem.dual_dim
                     + 2 * (m * he) ** 3 + 2 * (m * ho) ** 3
                     + 2 * (m * pts) * (m * he) ** 2
                     + 2 * (m * pts) * (m * ho) ** 2)
@@ -218,13 +267,15 @@ def main(argv=None) -> int:
     it_writer.close()
     runtime = int(time.time() - t_start)
 
+    final_state = _host_state(result.state)
+    result = dataclasses.replace(result, state=final_state)
     if not args.noFinalCheckpoint:
-        save_checkpoint(ck_dir, result.state, problem, params)
-    out_io.save_solution(out_dir, result, problem, runtime,
+        save_checkpoint(ck_dir, final_state, host_problem, params)
+    out_io.save_solution(out_dir, result, host_problem, runtime,
                          write_solution=args.writeSolution,
                          normalization=raw.normalization)
     out_io.save_c_minus_By(out_dir / "c_minus_By" / "c_minus_By.json",
-                           problem, result.state.y)
+                           host_problem, final_state.y)
     if args.verbosity >= 1:
         print(f"terminateReason = \"{result.reason.value}\"")
         print(f"primalObjective = {result.primal_objective[:50]}...")

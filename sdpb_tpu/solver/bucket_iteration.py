@@ -1,11 +1,23 @@
-"""Bucketed interior-point iteration: vmap over same-shape blocks.
+"""Bucketed interior-point iteration: one jitted kernel PER BUCKET.
 
-Same phase structure and math as solver.iteration (whose per-block
-kernels are reused under vmap), but blocks of identical shape are
-stacked, so compile cost is O(#distinct shapes), not O(J) — the
-equivalent of the reference running the same code on every block of a
-`Block_Info` group.  This module is the production path for many-block
-problems and the basis of the mesh-sharded multi-chip step.
+Same math as solver.iteration (whose per-block kernels are reused under
+vmap), but compiled as per-bucket programs plus tiny cross-bucket
+combiners.  Rationale:
+
+- compile cost is O(#distinct shapes), and each unit is small: a
+  single whole-problem program for a realistic SDP (nmax6: 5 buckets,
+  K=5) reaches >80k jaxpr equations and OOMs LLVM; per-bucket programs
+  stay ~15k and are cached by (BlockShape, nb, K) across iterations,
+  predictor/corrector, and even across problems
+- the bucket is also the unit of multi-chip sharding (see
+  sdpb_tpu.parallel): per-bucket kernels shard over the mesh's block
+  axis, and the only cross-bucket objects are the reductions combined
+  here (c.x, B^T x, Q, dy rhs, trace(XY), Frobenius, error maxima) —
+  exactly the reference's cross-rank communication contract
+  (`restore_and_reduce.cxx`, `Block_Diagonal_Matrix.hxx:113-130`)
+
+The phase structure mirrors `SDP_Solver/run/run.cxx` and `step.cxx`;
+per-block math anchors live in solver.iteration.
 """
 
 from __future__ import annotations
@@ -38,10 +50,6 @@ def _vblock(bk, fn, *args):
     return jax.vmap(wrapped)(bk.c, bk.B, bk.q, bk.u, *args)
 
 
-def _empty_like_parity(bk, state_X, p):
-    return state_X[p]
-
-
 class Residues(NamedTuple):
     primal_objective: jax.Array
     dual_objective: jax.Array
@@ -58,214 +66,317 @@ class Residues(NamedTuple):
     primal_res_p: jax.Array
 
 
-@jax.jit
-def compute_residues(problem: BucketedProblem,
-                     state: BucketedState) -> Residues:
-    k = problem.b.shape[-1]
-    dtype = problem.b.dtype
-    one = jnp.zeros((k,), dtype).at[0].set(1.0)
+# ---------------------------------------------------------------------------
+# Phase 1: residues (per-bucket kernel + tiny combiner)
+# ---------------------------------------------------------------------------
 
-    cx = mp.zeros((), k, dtype=dtype)
-    for bk, x in zip(problem.buckets, state.x):
-        per = jax.vmap(lambda c_, x_: mp.dot(c_, x_, axis=0))(bk.c, x)
-        cx = mp.add(cx, mp.sum_(per, axis=0))
-    primal_objective = mp.add(problem.objective_const, cx)
-    dual_objective = mp.add(problem.objective_const,
-                            mp.dot(problem.b, state.y, axis=0))
+@jax.jit
+def _residues_bucket(bk, x, X, Y, y):
+    """All block-local residue work for one bucket.  Returns the
+    per-bucket tensors plus the bucket's contributions to the global
+    reductions (c.x, B^T x, error maxima)."""
+    pars = _parities(bk.shape)
+    L_X = tuple(la.cholesky(X[p]) if p in pars else X[p] for p in range(2))
+    L_Y = tuple(la.cholesky(Y[p]) if p in pars else Y[p] for p in range(2))
+
+    ax, ay = _vblock(bk, lambda bl, LxT, Yb: it._pairings_block(bl, LxT, Yb),
+                     L_X, tuple(Y))
+
+    dual_res = _vblock(bk, lambda bl, ayl: it._dual_residues_block(
+        bl, list(ayl), y), tuple(ay))
+    derr = jnp.max(jnp.abs(mp.to_f64(dual_res)))
+
+    w = _vblock(bk, lambda bl, x_: it._weighted_sum_block(bl, x_), x)
+    primal_res = tuple(mp.sub(w[p], X[p]) if p in pars else w[p]
+                       for p in range(2))
+    perr = jnp.max(jnp.stack(
+        [jnp.max(jnp.abs(mp.to_f64(primal_res[p]))) for p in pars]))
+
+    cx = mp.sum_(jax.vmap(lambda c_, x_: mp.dot(c_, x_, axis=0))(bk.c, x),
+                 axis=0)
+    bx = mp.sum_(jax.vmap(
+        lambda B_, x_: la.matvec(B_, x_, transpose=True))(bk.B, x), axis=0)
+    return (L_X, L_Y, ax, ay, dual_res, primal_res, derr, perr, cx, bx)
+
+
+@jax.jit
+def _residues_combine(objective_const, b, y, cx_parts, bx_parts, derrs,
+                      perrs):
+    k = b.shape[-1]
+    dtype = b.dtype
+    one = jnp.zeros((k,), dtype).at[0].set(1.0)
+    cx = cx_parts[0]
+    for c_ in cx_parts[1:]:
+        cx = mp.add(cx, c_)
+    bx = bx_parts[0]
+    for b_ in bx_parts[1:]:
+        bx = mp.add(bx, b_)
+    primal_objective = mp.add(objective_const, cx)
+    dual_objective = mp.add(objective_const, mp.dot(b, y, axis=0))
     gap_num = mp.abs_(mp.sub(primal_objective, dual_objective))
     gap_den = mp.max_(
         mp.add(mp.abs_(primal_objective), mp.abs_(dual_objective)), one)
     duality_gap = mp.div(gap_num, gap_den)
+    primal_res_p = mp.sub(b, bx)
+    primal_error_p = jnp.max(jnp.abs(mp.to_f64(primal_res_p)))
+    # error norms as MP scalars for threshold comparisons: f64 maxima
+    # suffice (1e-16 relative granularity on 1e-30 thresholds, same as
+    # what the reference prints); promote to MP.
+    to_mp = lambda v: mp.from_f64(v, k, dtype=dtype)
+    return (primal_objective, dual_objective, duality_gap,
+            to_mp(jnp.max(jnp.stack(derrs))),
+            to_mp(jnp.max(jnp.stack(perrs))),
+            to_mp(primal_error_p), primal_res_p)
 
+
+def compute_residues(problem: BucketedProblem,
+                     state: BucketedState) -> Residues:
     L_X, L_Y, ax, ay, dual_res, primal_res = [], [], [], [], [], []
-    derr, perr = [], []
+    cx_parts, bx_parts, derrs, perrs = [], [], [], []
     for bi, bk in enumerate(problem.buckets):
-        pars = _parities(bk.shape)
-        lx = tuple(la.cholesky(state.X[bi][p]) if p in pars else
-                   state.X[bi][p] for p in range(2))
-        ly = tuple(la.cholesky(state.Y[bi][p]) if p in pars else
-                   state.Y[bi][p] for p in range(2))
+        (lx, ly, a_, b_, d, pr, derr, perr, cx, bx) = _residues_bucket(
+            bk, state.x[bi], tuple(state.X[bi]), tuple(state.Y[bi]), state.y)
         L_X.append(lx)
         L_Y.append(ly)
-
-        a_, b_ = _vblock(bk, lambda bl, LxT, Yb: it._pairings_block(bl, LxT, Yb),
-                         lx, tuple(state.Y[bi]))
         ax.append(a_)
         ay.append(b_)
-
-        d = _vblock(bk, lambda bl, ayl: it._dual_residues_block(
-            bl, list(ayl), state.y), tuple(b_))
         dual_res.append(d)
-        derr.append(jnp.max(jnp.abs(mp.to_f64(d))))
-
-        w = _vblock(bk, lambda bl, x_: it._weighted_sum_block(bl, x_),
-                    state.x[bi])
-        pr = tuple(mp.sub(w[p], state.X[bi][p]) if p in pars else w[p]
-                   for p in range(2))
         primal_res.append(pr)
-        for p in pars:
-            perr.append(jnp.max(jnp.abs(mp.to_f64(pr[p]))))
+        derrs.append(derr)
+        perrs.append(perr)
+        cx_parts.append(cx)
+        bx_parts.append(bx)
 
-    dual_error = jnp.max(jnp.stack(derr))
-    primal_error_P = jnp.max(jnp.stack(perr))
-
-    bx = mp.zeros((problem.dual_dim,), k, dtype=dtype)
-    for bk, x in zip(problem.buckets, state.x):
-        per = jax.vmap(lambda B_, x_: la.matvec(B_, x_, transpose=True))(
-            bk.B, x)
-        bx = mp.add(bx, mp.sum_(per, axis=0))
-    primal_res_p = mp.sub(problem.b, bx)
-    primal_error_p = jnp.max(jnp.abs(mp.to_f64(primal_res_p)))
-
-    # error norms as MP scalars for threshold comparisons: f64 maxima
-    # suffice (they gate 1e-30 thresholds with 1e-16 relative accuracy,
-    # the same granularity the reference prints); promote to MP.
-    to_mp = lambda v: mp.from_f64(v, k, dtype=dtype)
+    (primal_objective, dual_objective, duality_gap, dual_error,
+     primal_error_P, primal_error_p, primal_res_p) = _residues_combine(
+        problem.objective_const, problem.b, state.y, tuple(cx_parts),
+        tuple(bx_parts), tuple(derrs), tuple(perrs))
     return Residues(primal_objective, dual_objective, duality_gap,
-                    to_mp(dual_error), to_mp(primal_error_P),
-                    to_mp(primal_error_p),
+                    dual_error, primal_error_P, primal_error_p,
                     L_X, L_Y, ax, ay, dual_res, primal_res, primal_res_p)
 
 
+# ---------------------------------------------------------------------------
+# Phase 2a: Schur factorization
+# ---------------------------------------------------------------------------
+
 @jax.jit
+def _schur_bucket(bk, ax, ay):
+    """S-Cholesky, L^-1 B, and this bucket's Q contribution."""
+    S = _vblock(bk, lambda bl, a, b: it._schur_complement_block(
+        bl, list(a), list(b)), tuple(ax), tuple(ay))
+    ls = la.cholesky(S)
+    lb = la.solve_lower(ls, bk.B)
+    q_part = mp.sum_(jax.vmap(
+        lambda m_: la.matmul(m_, m_, transpose_a=True))(lb), axis=0)
+    return ls, lb, q_part
+
+
+@jax.jit
+def _q_cholesky(q_parts):
+    Q = q_parts[0]
+    for q in q_parts[1:]:
+        Q = mp.add(Q, q)
+    return la.cholesky(Q)
+
+
 def schur_factorize(problem: BucketedProblem, res: Residues):
-    k = problem.b.shape[-1]
-    dtype = problem.b.dtype
-    L_S, LinvB = [], []
-    Q = mp.zeros((problem.dual_dim, problem.dual_dim), k, dtype=dtype)
+    L_S, LinvB, q_parts = [], [], []
     for bi, bk in enumerate(problem.buckets):
-        S = _vblock(bk, lambda bl, a, b: it._schur_complement_block(
-            bl, list(a), list(b)), tuple(res.ax[bi]), tuple(res.ay[bi]))
-        ls = la.cholesky(S)
-        lb = la.solve_lower(ls, bk.B)
+        ls, lb, q_part = _schur_bucket(bk, res.ax[bi], res.ay[bi])
         L_S.append(ls)
         LinvB.append(lb)
-        per = jax.vmap(lambda m_: la.matmul(m_, m_, transpose_a=True))(lb)
-        Q = mp.add(Q, mp.sum_(per, axis=0))
-    L_Q = la.cholesky(Q)
+        q_parts.append(q_part)
+    L_Q = _q_cholesky(tuple(q_parts))
     return L_S, LinvB, L_Q
 
 
+# ---------------------------------------------------------------------------
+# Phase 2b: -XY, mu, R_error
+# ---------------------------------------------------------------------------
+
 @jax.jit
+def _xy_bucket(bk, X, Y):
+    pars = _parities(bk.shape)
+    k = bk.c.shape[-1]
+    mb = []
+    tr = mp.zeros((), k, dtype=bk.c.dtype)
+    for p in range(2):
+        if p not in pars:
+            mb.append(X[p])
+            continue
+        mxy = mp.neg(la.matmul(X[p], Y[p]))
+        mb.append(mxy)
+        tr = mp.add(tr, mp.sum_(jax.vmap(la.trace)(mxy), axis=0))
+    return tuple(mb), tr
+
+
+@functools.partial(jax.jit, static_argnames=("total_psd_rows",))
+def _mu_combine(tr_parts, total_psd_rows, max_complementarity):
+    k = tr_parts[0].shape[-1]
+    dtype = tr_parts[0].dtype
+    tr = tr_parts[0]
+    for t in tr_parts[1:]:
+        tr = mp.add(tr, t)
+    mu = mp.div(mp.neg(tr), mp.from_f64(
+        jnp.asarray(float(total_psd_rows)), k, dtype=dtype))
+    terminate = mp.cmp_lt(jnp.asarray(max_complementarity, dtype), mu)
+    return mu, terminate
+
+
+@jax.jit
+def _r_error_bucket(bk, minus_XY, mu):
+    pars = _parities(bk.shape)
+    return jnp.max(jnp.stack([
+        jnp.max(jnp.abs(mp.to_f64(la.add_diag(minus_XY[p], mu))))
+        for p in pars]))
+
+
 def compute_xy_mu(problem: BucketedProblem, state: BucketedState,
                   max_complementarity):
+    minus_XY, tr_parts = [], []
+    for bi, bk in enumerate(problem.buckets):
+        mb, tr = _xy_bucket(bk, tuple(state.X[bi]), tuple(state.Y[bi]))
+        minus_XY.append(mb)
+        tr_parts.append(tr)
+    mu, terminate_max_c = _mu_combine(
+        tuple(tr_parts), problem.total_psd_rows, max_complementarity)
+    r_errs = [np.asarray(_r_error_bucket(bk, minus_XY[bi], mu))
+              for bi, bk in enumerate(problem.buckets)]
     k = problem.b.shape[-1]
-    dtype = problem.b.dtype
-    minus_XY = []
-    tr = mp.zeros((), k, dtype=dtype)
-    r_errs = []
-    for bi, bk in enumerate(problem.buckets):
-        pars = _parities(bk.shape)
-        mb = []
-        for p in range(2):
-            if p not in pars:
-                mb.append(state.X[bi][p])
-                continue
-            mxy = mp.neg(la.matmul(state.X[bi][p], state.Y[bi][p]))
-            mb.append(mxy)
-            tr = mp.add(tr, mp.sum_(jax.vmap(la.trace)(mxy), axis=0))
-        minus_XY.append(tuple(mb))
-    mu = mp.div(mp.neg(tr), mp.from_f64(
-        jnp.asarray(float(problem.total_psd_rows)), k, dtype=dtype))
-    terminate_max_c = mp.cmp_lt(jnp.asarray(max_complementarity, dtype), mu)
-    for bi, bk in enumerate(problem.buckets):
-        for p in _parities(bk.shape):
-            r = la.add_diag(minus_XY[bi][p], mu)
-            r_errs.append(jnp.max(jnp.abs(mp.to_f64(r))))
-    R_error = mp.from_f64(jnp.max(jnp.stack(r_errs)), k, dtype=dtype)
+    R_error = mp.from_f64(jnp.asarray(float(np.max(r_errs))), k,
+                          dtype=problem.b.dtype)
     return minus_XY, mu, R_error, terminate_max_c
 
 
+# ---------------------------------------------------------------------------
+# Phase 2c: one Newton direction (predictor AND corrector)
+# ---------------------------------------------------------------------------
+
 @jax.jit
+def _search_pre_bucket(bk, x, X, Y, L_X, primal_res, dual_res, minus_XY,
+                       L_S, LinvB, beta_mu, dXdY):
+    """Z, R, the L_S-forward-solved dx, and the dy-rhs contribution."""
+    pars = _parities(bk.shape)
+    Rb, Zb = [], []
+    for p in range(2):
+        if p not in pars:
+            Rb.append(minus_XY[p])
+            Zb.append(minus_XY[p])
+            continue
+        R = la.add_diag(mp.sub(minus_XY[p], dXdY[p]), beta_mu)
+        Rb.append(R)
+        py = la.matmul(primal_res[p], Y[p])
+        z = la.cholesky_solve(L_X[p], mp.sub(py, R))
+        Zb.append(la.symmetrize(z))
+    zp = [Zb[p] for p in pars]
+    dx = _vblock(bk, lambda bl, d, *z: it._schur_rhs_block(bl, d, list(z)),
+                 dual_res, *zp)
+    dx = la.solve_lower(L_S, dx)
+    dy_part = mp.sum_(jax.vmap(
+        lambda lb, d: la.matvec(lb, d, transpose=True))(LinvB, dx), axis=0)
+    return tuple(Rb), dx, dy_part
+
+
+@jax.jit
+def _dy_solve(primal_res_p, dy_parts, L_Q):
+    dy_rhs = primal_res_p
+    for part in dy_parts:
+        dy_rhs = mp.sub(dy_rhs, part)
+    return la.cholesky_solve(L_Q, dy_rhs)
+
+
+@jax.jit
+def _search_post_bucket(bk, dx, dy, L_S, LinvB, Y, L_X, primal_res, R):
+    """Back-substitute dx, then dX and dY for one bucket."""
+    pars = _parities(bk.shape)
+    dx = mp.add(dx, jax.vmap(lambda lb: la.matvec(lb, dy))(LinvB))
+    dx = la.solve_lower_t(L_S, dx)
+    w = _vblock(bk, lambda bl, d: it._weighted_sum_block(bl, d), dx)
+    dXb, dYb = [], []
+    for p in range(2):
+        if p not in pars:
+            dXb.append(w[p])
+            dYb.append(w[p])
+            continue
+        dxp = mp.add(w[p], primal_res[p])
+        dXb.append(dxp)
+        t = la.matmul(dxp, Y[p])
+        t = la.cholesky_solve(L_X[p], mp.sub(t, R[p]))
+        dYb.append(mp.neg(la.symmetrize(t)))
+    return dx, tuple(dXb), tuple(dYb)
+
+
 def search_direction(problem: BucketedProblem, state: BucketedState,
                      res: Residues, minus_XY, L_S, LinvB, L_Q, beta_mu, dXdY):
     """One Newton solve; predictor passes zero dXdY (see
     solver.iteration.search_direction for the reference anchors)."""
-    dx_list = []
-    Z_list = []
-    R_list = []
+    R_list, dx_list, dy_parts = [], [], []
     for bi, bk in enumerate(problem.buckets):
-        pars = _parities(bk.shape)
-        Rb, Zb = [], []
-        for p in range(2):
-            if p not in pars:
-                Rb.append(minus_XY[bi][p])
-                Zb.append(minus_XY[bi][p])
-                continue
-            R = la.add_diag(mp.sub(minus_XY[bi][p], dXdY[bi][p]), beta_mu)
-            Rb.append(R)
-            py = la.matmul(res.primal_res[bi][p], state.Y[bi][p])
-            z = la.cholesky_solve(res.L_X[bi][p], mp.sub(py, R))
-            Zb.append(la.symmetrize(z))
-        R_list.append(tuple(Rb))
-        Z_list.append(tuple(Zb))
-        zp = [Z_list[bi][p] for p in pars]
-        dx = _vblock(bk, lambda bl, d, *z: it._schur_rhs_block(bl, d, list(z)),
-                     res.dual_res[bi], *zp)
-        dx_list.append(la.solve_lower(L_S[bi], dx))
+        R, dx, dy_part = _search_pre_bucket(
+            bk, state.x[bi], tuple(state.X[bi]), tuple(state.Y[bi]),
+            res.L_X[bi], res.primal_res[bi], res.dual_res[bi],
+            tuple(minus_XY[bi]), L_S[bi], LinvB[bi], beta_mu,
+            tuple(dXdY[bi]))
+        R_list.append(R)
+        dx_list.append(dx)
+        dy_parts.append(dy_part)
 
-    dy_rhs = res.primal_res_p
-    for bi in range(len(problem.buckets)):
-        per = jax.vmap(lambda lb, d: la.matvec(lb, d, transpose=True))(
-            LinvB[bi], dx_list[bi])
-        dy_rhs = mp.sub(dy_rhs, mp.sum_(per, axis=0))
-    dy = la.cholesky_solve(L_Q, dy_rhs)
+    dy = _dy_solve(res.primal_res_p, tuple(dy_parts), L_Q)
 
     dX, dY = [], []
     for bi, bk in enumerate(problem.buckets):
-        pars = _parities(bk.shape)
-        dx = mp.add(dx_list[bi],
-                    jax.vmap(lambda lb: la.matvec(lb, dy))(LinvB[bi]))
-        dx = la.solve_lower_t(L_S[bi], dx)
+        dx, dXb, dYb = _search_post_bucket(
+            bk, dx_list[bi], dy, L_S[bi], LinvB[bi], tuple(state.Y[bi]),
+            res.L_X[bi], res.primal_res[bi], R_list[bi])
         dx_list[bi] = dx
-        w = _vblock(bk, lambda bl, d: it._weighted_sum_block(bl, d), dx)
-        dXb, dYb = [], []
-        for p in range(2):
-            if p not in pars:
-                dXb.append(w[p])
-                dYb.append(w[p])
-                continue
-            dxp = mp.add(w[p], res.primal_res[bi][p])
-            dXb.append(dxp)
-            t = la.matmul(dxp, state.Y[bi][p])
-            t = la.cholesky_solve(res.L_X[bi][p], mp.sub(t, R_list[bi][p]))
-            dYb.append(mp.neg(la.symmetrize(t)))
-        dX.append(tuple(dXb))
-        dY.append(tuple(dYb))
+        dX.append(dXb)
+        dY.append(dYb)
     return dx_list, dX, dy, dY
 
 
-@jax.jit
 def zeros_like_XY(problem: BucketedProblem, state: BucketedState):
     return [tuple(jnp.zeros_like(state.X[bi][p]) for p in range(2))
             for bi in range(len(problem.buckets))]
 
 
 @jax.jit
-def pair_products(problem: BucketedProblem, dX, dY):
-    out = []
-    for bi, bk in enumerate(problem.buckets):
-        pars = _parities(bk.shape)
-        out.append(tuple(
-            la.matmul(dX[bi][p], dY[bi][p]) if p in pars else dX[bi][p]
-            for p in range(2)))
-    return out
+def _pair_products_bucket(bk, dX, dY):
+    pars = _parities(bk.shape)
+    return tuple(la.matmul(dX[p], dY[p]) if p in pars else dX[p]
+                 for p in range(2))
 
+
+def pair_products(problem: BucketedProblem, dX, dY):
+    return [_pair_products_bucket(bk, tuple(dX[bi]), tuple(dY[bi]))
+            for bi, bk in enumerate(problem.buckets)]
+
+
+# ---------------------------------------------------------------------------
+# Phase 2d: corrector centering parameter
+# ---------------------------------------------------------------------------
 
 @jax.jit
-def corrector_beta(problem: BucketedProblem, state: BucketedState, dX, dY,
-                   mu, feasible, feasible_centering, infeasible_centering):
-    k = problem.b.shape[-1]
-    dtype = problem.b.dtype
-    frob = mp.zeros((), k, dtype=dtype)
-    for bi, bk in enumerate(problem.buckets):
-        for p in _parities(bk.shape):
-            per = jax.vmap(lambda a, b, c_, d: la.frobenius(
-                mp.add(a, b), mp.add(c_, d)))(
-                state.X[bi][p], dX[bi][p], state.Y[bi][p], dY[bi][p])
-            frob = mp.add(frob, mp.sum_(per, axis=0))
-    r = mp.div(frob, mp.mul_f64(mu, jnp.asarray(
-        float(problem.total_psd_rows), dtype)))
+def _frob_bucket(bk, X, dX, Y, dY):
+    k = bk.c.shape[-1]
+    frob = mp.zeros((), k, dtype=bk.c.dtype)
+    for p in _parities(bk.shape):
+        per = jax.vmap(lambda a, b, c_, d: la.frobenius(
+            mp.add(a, b), mp.add(c_, d)))(X[p], dX[p], Y[p], dY[p])
+        frob = mp.add(frob, mp.sum_(per, axis=0))
+    return frob
+
+
+@functools.partial(jax.jit, static_argnames=("total_psd_rows",))
+def _beta_combine(frob_parts, mu, total_psd_rows, feasible,
+                  feasible_centering, infeasible_centering):
+    k = mu.shape[-1]
+    dtype = mu.dtype
+    frob = frob_parts[0]
+    for f in frob_parts[1:]:
+        frob = mp.add(frob, f)
+    r = mp.div(frob, mp.mul_f64(mu, jnp.asarray(float(total_psd_rows),
+                                                dtype)))
     one = mp.from_f64(jnp.asarray(1.0), k, dtype=dtype)
     beta = mp.where(mp.cmp_lt(r, one), mp.mul(r, r), r)
     feas = mp.min_(mp.max_(jnp.asarray(feasible_centering, dtype), beta), one)
@@ -273,19 +384,35 @@ def corrector_beta(problem: BucketedProblem, state: BucketedState, dX, dY,
     return mp.where(jnp.broadcast_to(feasible, ()), feas, infeas)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma",))
-def apply_step(problem: BucketedProblem, state: BucketedState, res: Residues,
-               dx, dX, dy, dY, feasible, gamma: float):
+def corrector_beta(problem: BucketedProblem, state: BucketedState, dX, dY,
+                   mu, feasible, feasible_centering, infeasible_centering):
+    parts = [_frob_bucket(bk, tuple(state.X[bi]), tuple(dX[bi]),
+                          tuple(state.Y[bi]), tuple(dY[bi]))
+             for bi, bk in enumerate(problem.buckets)]
+    return _beta_combine(tuple(parts), mu, problem.total_psd_rows,
+                         feasible, feasible_centering, infeasible_centering)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2e: step lengths and update
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _lambda_bucket(bk, L_X, dX, L_Y, dY):
     lam_p = jnp.asarray(jnp.inf, jnp.float64)
     lam_d = jnp.asarray(jnp.inf, jnp.float64)
-    for bi, bk in enumerate(problem.buckets):
-        for p in _parities(bk.shape):
-            cp = jax.vmap(la.lower_inverse_congruence)(
-                res.L_X[bi][p], dX[bi][p])
-            lam_p = jnp.minimum(lam_p, jnp.min(jax.vmap(it._min_eig_f64)(cp)))
-            cd = jax.vmap(la.lower_inverse_congruence)(
-                res.L_Y[bi][p], dY[bi][p])
-            lam_d = jnp.minimum(lam_d, jnp.min(jax.vmap(it._min_eig_f64)(cd)))
+    for p in _parities(bk.shape):
+        cp = jax.vmap(la.lower_inverse_congruence)(L_X[p], dX[p])
+        lam_p = jnp.minimum(lam_p, jnp.min(jax.vmap(it._min_eig_f64)(cp)))
+        cd = jax.vmap(la.lower_inverse_congruence)(L_Y[p], dY[p])
+        lam_d = jnp.minimum(lam_d, jnp.min(jax.vmap(it._min_eig_f64)(cd)))
+    return lam_p, lam_d
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def _alphas(lam_ps, lam_ds, feasible, gamma: float):
+    lam_p = jnp.min(jnp.stack(lam_ps))
+    lam_d = jnp.min(jnp.stack(lam_ds))
 
     def to_alpha(lam):
         return jnp.where(lam > -gamma, 1.0, -gamma / lam)
@@ -295,17 +422,44 @@ def apply_step(problem: BucketedProblem, state: BucketedState, res: Residues,
     both = jnp.minimum(alpha_p, alpha_d)
     alpha_p = jnp.where(feasible, both, alpha_p)
     alpha_d = jnp.where(feasible, both, alpha_d)
+    return alpha_p, alpha_d
 
-    nb = len(problem.buckets)
-    new_state = BucketedState(
-        x=[mp.add(state.x[bi], mp.mul_f64(dx[bi], alpha_p))
-           for bi in range(nb)],
-        y=mp.add(state.y, mp.mul_f64(dy, alpha_d)),
-        X=[tuple(mp.add(state.X[bi][p], mp.mul_f64(dX[bi][p], alpha_p))
-                 for p in range(2)) for bi in range(nb)],
-        Y=[tuple(mp.add(state.Y[bi][p], mp.mul_f64(dY[bi][p], alpha_d))
-                 for p in range(2)) for bi in range(nb)],
-    )
+
+@jax.jit
+def _update_bucket(x, X, Y, dx, dX, dY, alpha_p, alpha_d):
+    new_x = mp.add(x, mp.mul_f64(dx, alpha_p))
+    new_X = tuple(mp.add(X[p], mp.mul_f64(dX[p], alpha_p)) if X[p].size
+                  else X[p] for p in range(2))
+    new_Y = tuple(mp.add(Y[p], mp.mul_f64(dY[p], alpha_d)) if Y[p].size
+                  else Y[p] for p in range(2))
+    return new_x, new_X, new_Y
+
+
+@jax.jit
+def _update_y(y, dy, alpha_d):
+    return mp.add(y, mp.mul_f64(dy, alpha_d))
+
+
+def apply_step(problem: BucketedProblem, state: BucketedState, res: Residues,
+               dx, dX, dy, dY, feasible, gamma: float):
+    lam_ps, lam_ds = [], []
+    for bi, bk in enumerate(problem.buckets):
+        lp, ld = _lambda_bucket(bk, res.L_X[bi], tuple(dX[bi]),
+                                res.L_Y[bi], tuple(dY[bi]))
+        lam_ps.append(lp)
+        lam_ds.append(ld)
+    alpha_p, alpha_d = _alphas(tuple(lam_ps), tuple(lam_ds), feasible, gamma)
+
+    new_x, new_X, new_Y = [], [], []
+    for bi in range(len(problem.buckets)):
+        nx, nX, nY = _update_bucket(
+            state.x[bi], tuple(state.X[bi]), tuple(state.Y[bi]),
+            dx[bi], tuple(dX[bi]), tuple(dY[bi]), alpha_p, alpha_d)
+        new_x.append(nx)
+        new_X.append(nX)
+        new_Y.append(nY)
+    new_state = BucketedState(x=new_x, y=_update_y(state.y, dy, alpha_d),
+                              X=new_X, Y=new_Y)
     return new_state, alpha_p, alpha_d
 
 
@@ -323,7 +477,7 @@ class StepInfo(NamedTuple):
 
 def compute_step(problem: BucketedProblem, state: BucketedState,
                  res: Residues, params, is_primal_and_dual_feasible: bool):
-    """Host-orchestrated predictor-corrector step (phase-per-jit)."""
+    """Host-orchestrated predictor-corrector step (kernel-per-bucket)."""
     dtype = problem.b.dtype
     k = problem.b.shape[-1]
     feasible = jnp.asarray(is_primal_and_dual_feasible)

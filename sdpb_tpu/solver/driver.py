@@ -84,10 +84,18 @@ def solve(problem: SDPProblem, params: SolverParams,
 
     ``timers`` (sdpb_tpu.utils.timers.Timers) records the reference's
     dotted profile paths (run.iter_<n>.{residues,step}) when given."""
-    bucketed = isinstance(problem, BucketedProblem)
-    it_mod = bucket_iteration if bucketed else iteration
+    from ..parallel import mesh as mesh_mod
+
+    if isinstance(problem, mesh_mod.MeshProblem):
+        it_mod = mesh_mod
+        init = mesh_mod.initial_state
+    elif isinstance(problem, BucketedProblem):
+        it_mod = bucket_iteration
+        init = initial_bucketed_state
+    else:
+        it_mod = iteration
+        init = initial_state
     if state is None:
-        init = initial_bucketed_state if bucketed else initial_state
         state = init(
             problem,
             float(params.initial_matrix_scale_primal),
@@ -186,9 +194,17 @@ def solve(problem: SDPProblem, params: SolverParams,
         if iteration_hook is not None:
             iteration_hook(rec, state)
         if verbose:
-            print(f"it {it:3d} mu={rec.mu[:12]:>12} gap={rec.duality_gap[:12]:>12} "
-                  f"P-err={rec.primal_error_P[:10]:>10} D-err={rec.dual_error[:10]:>10} "
-                  f"steps=({primal_step:.6f},{dual_step:.6f}) t={rec.iter_time:.3f}s")
+            def sci(dec):
+                try:
+                    return f"{float(mpmath.mpf(dec)):.3e}"
+                except (ValueError, OverflowError):
+                    return dec[:12]
+            print(f"it {it:3d} mu={sci(rec.mu):>10} "
+                  f"gap={sci(rec.duality_gap):>10} "
+                  f"P-err={sci(rec.primal_error_P):>10} "
+                  f"D-err={sci(rec.dual_error):>10} "
+                  f"steps=({primal_step:.6f},{dual_step:.6f}) "
+                  f"t={rec.iter_time:.3f}s")
 
     return SolveResult(
         reason=reason,

@@ -16,6 +16,10 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+from sdpb_tpu.utils import ensure_map_count  # noqa: E402
+
+ensure_map_count()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
