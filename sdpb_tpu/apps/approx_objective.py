@@ -151,6 +151,41 @@ def setup_factorizations(problem, X, Y, x, y):
     return iteration.schur_factorize(problem, res)
 
 
+def write_solver_state(solution_dir, factorizations) -> None:
+    """Cache S-Cholesky, L^-1 B, Q-Cholesky as text blocks so later
+    invocations skip the expensive setup (`write_solver_state.cxx`).
+    NB: our Q factor is LOWER-triangular (the reference stores the
+    UPPER factor); the file is for this framework's own round trip."""
+    from ..io.output import write_matrix
+
+    L_S, LinvB, L_Q = factorizations
+    solution_dir = Path(solution_dir)
+    for j in range(len(L_S)):
+        write_matrix(solution_dir / f"schur_complement_cholesky_{j}.txt",
+                     np.asarray(L_S[j]))
+        write_matrix(solution_dir / f"schur_off_diagonal_{j}.txt",
+                     np.asarray(LinvB[j]))
+    write_matrix(solution_dir / "Q_cholesky.txt", np.asarray(L_Q))
+
+
+def load_solver_state(solution_dir, problem, k):
+    """Load the cached factorizations if present, else None
+    (`setup_solver.cxx:160-174`)."""
+    from ..io.text_io import read_text_matrix
+
+    solution_dir = Path(solution_dir)
+    if not (solution_dir / "Q_cholesky.txt").exists():
+        return None
+    L_S, LinvB = [], []
+    for j in range(len(problem.blocks)):
+        L_S.append(jnp.asarray(read_text_matrix(
+            solution_dir / f"schur_complement_cholesky_{j}.txt", k)))
+        LinvB.append(jnp.asarray(read_text_matrix(
+            solution_dir / f"schur_off_diagonal_{j}.txt", k)))
+    L_Q = jnp.asarray(read_text_matrix(solution_dir / "Q_cholesky.txt", k))
+    return L_S, LinvB, L_Q
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="approx_objective",
@@ -199,8 +234,18 @@ def main(argv=None) -> int:
 
     factorizations = None
     if not args.linear:
-        X, Y = _read_solution_XY(solution_dir, problem, k)
-        factorizations = setup_factorizations(problem, X, Y, x, y)
+        factorizations = load_solver_state(solution_dir, problem, k)
+        if factorizations is None:
+            X, Y = _read_solution_XY(solution_dir, problem, k)
+            factorizations = setup_factorizations(problem, X, Y, x, y)
+            if args.writeSolverState:
+                write_solver_state(solution_dir, factorizations)
+                if args.verbosity >= 1:
+                    print(f"wrote solver state to {solution_dir}",
+                          file=sys.stderr)
+        elif args.verbosity >= 1:
+            print(f"loaded solver state from {solution_dir}",
+                  file=sys.stderr)
 
     results = []
     if args.newSdp:
