@@ -56,8 +56,8 @@ def run_once(n, m, reps):
                          jnp.int32)
 
     def forward(d):
-        r = exact.residues(d, plan)
-        q = exact.syrk_residues(r, plan)
+        r = exact.residues_split(d, plan)
+        q = exact.syrk_residues_split(r, plan)
         return jnp.sum(exact.crt_restore_planes(q, plan)).astype(jnp.float32)
 
     def noop(d):

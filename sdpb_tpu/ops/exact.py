@@ -271,10 +271,19 @@ def _mod_tables(primes):
 
 
 def _split7(v):
-    """Split v = hi*128 + lo with lo balanced in [-64, 63]."""
-    lo = ((v + 64) % 128) - 64
-    hi = (v - lo) // 128
+    """Split v = hi*128 + lo with lo balanced in [-64, 63].
+    Pure bit ops (TPU's VPU has no integer divider; % and // lower to
+    slow emulation)."""
+    lo = jnp.bitwise_and(v + 64, 127) - 64
+    hi = jax.lax.shift_right_arithmetic(v - lo, jnp.asarray(7, v.dtype))
     return hi.astype(jnp.int8), lo.astype(jnp.int8)
+
+
+def _balance_dev(r, p):
+    """[0, p) -> balanced (-p/2, p/2] without integer modulo: for r
+    already reduced, balancing is one compare + subtract."""
+    half = jax.lax.shift_right_logical(p, jnp.asarray(1, p.dtype))
+    return r - jnp.where(r > half, p, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
@@ -293,21 +302,27 @@ def residues(digits, plan: CrtPlan):
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
-def syrk_residues(r, plan: CrtPlan):
-    """Per-prime exact A^T A of residues r (n, m, n_primes) in [0,p):
-    -> (n_primes, m, m) int32 in [0, p)."""
+def residues_split(digits, plan: CrtPlan):
+    """Balanced 7-bit-split residues: digits (n, m, n_digits) ->
+    (rh, rl) int8 of shape (n, m, n_primes) with r = 128*rh + rl
+    (mod p, balanced).  Stays in the digit layout (no 300 MB
+    transpose); the SYRK batches over the trailing prime axis."""
     primes = jnp.asarray(plan.primes.astype(np.int32))
-    rp = _balance(jnp.moveaxis(r, -1, 0), primes[:, None, None])  # (P,n,m)
-    rh, rl = _split7(rp)          # |rh| <= 32, |rl| <= 64
-    dims = (((1,), (1,)), ((0,), (0,)))  # batch P, contract n
+    table = jnp.asarray(plan.base_pow_mod.astype(np.int32))
+    th, tl = _split7(table)       # (D, P)
+    d8 = digits.astype(jnp.int8)
+    dims = (((d8.ndim - 1,), (0,)), ((), ()))
+    sh = jax.lax.dot_general(d8, th, dims, preferred_element_type=jnp.int32)
+    sl = jax.lax.dot_general(d8, tl, dims, preferred_element_type=jnp.int32)
+    pp, inv, pow16 = _mod_tables(plan.primes)
+    r = _mod_p(sh * 128 + sl, pp, inv, pow16)
+    rb = _balance(r, primes)
+    return _split7(rb)
 
-    def mm(a, b):
-        return jax.lax.dot_general(a, b, dims,
-                                   preferred_element_type=jnp.int32)
 
-    s2 = mm(rh, rh)
-    s1 = mm(rh, rl) + mm(rl, rh)
-    s0 = mm(rl, rl)
+def _syrk_combine(s2, s1, s0, plan):
+    """Combine half-split partial products mod p:
+    q = 2^14 s2 + 2^7 s1 + s0 (mod p)."""
     pp, inv, pow16 = _mod_tables(plan.primes)
     p3, inv3, pw3 = (v[:, None, None] for v in (pp, inv, pow16))
     t14 = jnp.asarray((np.int64(1 << 14) % plan.primes).astype(np.int32))[
@@ -318,6 +333,38 @@ def syrk_residues(r, plan: CrtPlan):
     s1m = _mod_p(s1, p3, inv3, pw3)
     s0m = _mod_p(s0, p3, inv3, pw3)
     return _mod_p(s2m * t14 + s1m * t7 + s0m, p3, inv3, pw3)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def syrk_residues(r, plan: CrtPlan):
+    """Per-prime exact A^T A of residues r (n, m, n_primes) in [0,p):
+    -> (n_primes, m, m) int32 in [0, p)."""
+    primes = jnp.asarray(plan.primes.astype(np.int32))
+    rb = _balance(r, primes)
+    return syrk_residues_split(_split7(rb), plan)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def syrk_residues_split(r_split, plan: CrtPlan):
+    """Per-prime exact A^T A from balanced split residues
+    (rh, rl) int8 (n, m, n_primes) -> (n_primes, m, m) int32 in [0, p).
+
+    Karatsuba-style 3-matmul form: s1 = (rh+rl)^2 - s2 - s0
+    (|rh + rl| <= 96 stays int8; |sum| <= 96^2 * n < 2^31 for
+    n <= 2^17).  The prime axis rides as a dot_general batch dim so no
+    explicit transpose of the ~300 MB residue tensor is materialized."""
+    rh, rl = r_split
+    dims = (((0,), (0,)), ((2,), (2,)))  # contract n, batch P
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.int32)
+
+    s2 = mm(rh, rh)
+    s0 = mm(rl, rl)
+    rs = (rh.astype(jnp.int32) + rl.astype(jnp.int32)).astype(jnp.int8)
+    s1 = mm(rs, rs) - s2 - s0
+    return _syrk_combine(s2, s1, s0, plan)
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
@@ -340,8 +387,8 @@ def crt_restore_planes(q_res, plan: CrtPlan):
                    primes.astype(jnp.float32), axis=-1)
     k = k_int + jnp.round(frac).astype(jnp.int32)
 
-    w = jnp.asarray(plan.crt_weights.astype(np.int32))   # (P, planes)
-    wh, wl = _split7(w)           # |wh| <= 1, |wl| <= 64
+    # balanced W digits fit int8 directly; only r needs the 7-bit split
+    w8 = jnp.asarray(plan.crt_weights.astype(np.int8))   # (P, planes)
     rh, rl = _split7(r)           # rh in [0, 64], |rl| <= 64
     dims = (((r.ndim - 1,), (0,)), ((), ()))
 
@@ -349,8 +396,7 @@ def crt_restore_planes(q_res, plan: CrtPlan):
         return jax.lax.dot_general(a, b, dims,
                                    preferred_element_type=jnp.int32)
 
-    planes = (mm(rh, wh) * (128 * 128) + (mm(rh, wl) + mm(rl, wh)) * 128
-              + mm(rl, wl))
+    planes = mm(rh, w8) * 128 + mm(rl, w8)
     m_pl = jnp.asarray(plan.m_planes.astype(np.int32))
     planes = planes - k[..., None] * m_pl
 
@@ -361,7 +407,13 @@ def crt_restore_planes(q_res, plan: CrtPlan):
             [jnp.zeros_like(cy[..., :1]), cy[..., :-1]], axis=-1)
         return pl, None
 
-    planes, _ = jax.lax.scan(carry_pass, planes, None, length=5)
+    # Two passes are enough for the exact f64 grouping downstream: raw
+    # plane magnitudes are < 2^28 (sum_i p |W_i digit| + |k| |M digit|),
+    # pass 1 leaves |plane| < 2^20 + 128, pass 2 < 2^12 + 128, and a
+    # group of five planes then sums below 2^45 -- exactly
+    # representable in the f64 words digits_to_mp builds.  (Full
+    # balancing would need 5 passes and is pure HBM traffic.)
+    planes, _ = jax.lax.scan(carry_pass, planes, None, length=2)
     return planes
 
 
@@ -373,7 +425,7 @@ def syrk_exact(x_mp, plan: CrtPlan, k_out: int | None = None):
     (m, m, K_out).  Exact for the digitized inputs."""
     k_out = k_out if k_out is not None else x_mp.shape[-1]
     digits = mp_to_digits(x_mp, plan)
-    r = residues(jnp.asarray(digits), plan)
-    q = syrk_residues(r, plan)
+    r = residues_split(jnp.asarray(digits), plan)
+    q = syrk_residues_split(r, plan)
     planes = crt_restore_planes(q, plan)
     return digits_to_mp(np.asarray(planes), 2 * plan.shift_bits, k_out)
