@@ -29,6 +29,7 @@ specializes per precision.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -54,6 +55,27 @@ WORD_BITS = {
 
 def word_bits(a) -> int:
     return WORD_BITS[jnp.dtype(a.dtype)]
+
+
+def approx_dtype(dtype):
+    """The float dtype `approx` returns for MP arrays of this word
+    dtype (identity; exists to make call sites self-documenting)."""
+    return jnp.dtype(dtype)
+
+
+def from_f64_np(x: float, k: int, dtype) -> np.ndarray:
+    """Host-side (numpy) exact split of a python float into K words.
+    Safe to call eagerly with any default backend (no device ops)."""
+    dtype = np.dtype(jnp.dtype(dtype).name)
+    words = np.zeros(k, dtype=dtype)
+    r = np.float64(x)
+    for i in range(min(k, 3)):
+        w = dtype.type(r)
+        words[i] = w
+        r = r - np.float64(w)
+        if r == 0:
+            break
+    return words
 
 
 # ---------------------------------------------------------------------------
@@ -142,6 +164,28 @@ def to_f64(a: MPArray):
     for i in range(a.shape[-1] - 2, -1, -1):
         out = out + a[..., i]
     return out
+
+
+def approx(a: MPArray):
+    """Float approximation in the WORD dtype (no f64 cast, so this is
+    safe inside TPU kernels where f64 is a broken emulation).  Sums
+    words from least significant; relative error ~ ulp(word dtype),
+    which is ample for error-norm reporting and threshold compares."""
+    out = a[..., -1]
+    for i in range(a.shape[-1] - 2, -1, -1):
+        out = out + a[..., i]
+    return out
+
+
+def const_word(x, k: int, dtype=jnp.float64) -> MPArray:
+    """MP constant from a value exactly representable in ONE word
+    (small ints, powers of two, word-dtype scalars).  Unlike
+    ``from_f64`` this never touches f64 arithmetic, so it is safe in
+    TPU kernels with f32 words."""
+    x = jnp.asarray(x, dtype)
+    return jnp.concatenate(
+        [x[..., None], jnp.zeros((*x.shape, k - 1), dtype=dtype)], axis=-1
+    )
 
 
 def fst(a: MPArray):
@@ -240,12 +284,51 @@ def _vecsum_err_branch(m: MPArray, k: int) -> MPArray:
     return jnp.moveaxis(slots, 0, -1)
 
 
-def renorm_words(words: Sequence, k: int, sort: bool = True) -> MPArray:
+def _bitonic_merge_desc(m: MPArray) -> MPArray:
+    """Sort a |.|-bitonic sequence (descending-then-ascending along the
+    last axis) into descending-|.| order with a static bitonic merge
+    network: log2(n) stages of vectorized compare-exchange, no runtime
+    argsort.  n must be a power of two."""
+    n = m.shape[-1]
+    assert n & (n - 1) == 0, n
+    idx = np.arange(n)
+    d = n // 2
+    while d >= 1:
+        pm = m[..., idx ^ d]
+        lo = jnp.asarray((idx & d) == 0)
+        v_lo = jnp.where(lo, m, pm)
+        v_hi = jnp.where(lo, pm, m)
+        # keep own value iff the pair is already ordered (ties keep both)
+        m = jnp.where(jnp.abs(v_lo) >= jnp.abs(v_hi), m, pm)
+        d //= 2
+    return m
+
+
+def merge_desc(a: MPArray, b: MPArray) -> MPArray:
+    """Merge two descending-|.| word sequences into one fully
+    descending-|.| sequence via a bitonic merge (static network, no
+    argsort).  Zero-pads to a power of two; the zeros sort to the end
+    and are harmless to VecSum."""
+    na, nb = a.shape[-1], b.shape[-1]
+    n = 1 << (na + nb - 1).bit_length()
+    pad = n - na - nb
+    parts = [a]
+    if pad:
+        parts.append(jnp.zeros(a.shape[:-1] + (pad,), a.dtype))
+    parts.append(b[..., ::-1])  # desc + zeros + asc = bitonic
+    return _bitonic_merge_desc(jnp.concatenate(parts, axis=-1))
+
+
+def renorm_words(words: Sequence, k: int, sort: bool = True,
+                 passes: int = 1) -> MPArray:
     """Renormalize word arrays into a K-word nonoverlapping expansion.
 
     ``words`` is a list of word arrays or a single stacked array with
     the word axis last.  ``sort=False`` skips the magnitude sort when
-    the caller guarantees decreasing-magnitude order.
+    the caller guarantees (approximately) decreasing-magnitude order;
+    ``passes=2`` runs the VecSum distillation twice, which recovers
+    near-sorted accuracy for interleaved two-expansion merges without
+    the cost of a runtime sort.
     """
     if isinstance(words, jax.Array):
         m = words
@@ -263,7 +346,8 @@ def renorm_words(words: Sequence, k: int, sort: bool = True) -> MPArray:
     if sort:
         order = jnp.argsort(-jnp.abs(m), axis=-1)
         m = jnp.take_along_axis(m, order, axis=-1)
-    m = _vecsum(m)
+    for _ in range(passes):
+        m = _vecsum(m)
     return _vecsum_err_branch(m, k)
 
 
@@ -286,8 +370,11 @@ def add(a: MPArray, b: MPArray) -> MPArray:
         e = e + te
         s, e = fast_two_sum(s, e)
         return jnp.stack([s, e], axis=-1)
-    merged = [a[..., i] for i in range(k)] + [b[..., i] for i in range(k)]
-    return renorm_words(merged, k)
+    # Exact descending merge of the two (already descending) word
+    # streams via a static bitonic network -- same accuracy as the
+    # argsort path at a fraction of the cost on TPU.
+    m = merge_desc(a, b)
+    return renorm_words(m, k, sort=False)
 
 
 def add_f64(a: MPArray, x) -> MPArray:
@@ -311,13 +398,33 @@ def sub(a: MPArray, b: MPArray) -> MPArray:
 # Multiplication
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _mul_order(k: int):
+    """Static gather indices selecting the contributing partial
+    products of an expansion product, ordered by significance level.
+
+    The flattened word layout is [p (k*k), e (k*k)]; p[i,j] has level
+    i+j, e[i,j] level i+j+1.  Levels > k are dropped (below the
+    truncated result's last word); level == k keeps only the value
+    part.  Returns int indices into the 2*k*k concatenation.
+    """
+    lvl_p = (np.arange(k)[:, None] + np.arange(k)[None, :]).ravel()
+    lvl_e = lvl_p + 1
+    lvl = np.concatenate([lvl_p, lvl_e])
+    keep = np.nonzero(lvl <= k)[0]
+    order = keep[np.argsort(lvl[keep], kind="stable")]
+    return tuple(order.tolist())
+
+
 def mul(a: MPArray, b: MPArray) -> MPArray:
     """MP * MP, truncated product (error O(2^-wK) relative).
 
     All k^2 partial products run through ONE vectorized two_prod on a
-    (..., k, k) grid (graph size O(1) in k); products of significance
-    level l = i + j participate as in the classic expansion product:
-    l < k exact (two_prod), l == k value only, l > k dropped.
+    (..., k, k) grid (graph size O(1) in k); the contributing terms are
+    then gathered in STATIC significance-level order (p[i,j] level i+j,
+    e one lower), so renormalization needs no runtime sort -- the
+    level-ordered sequence is already approximately decreasing, which
+    is what VecSum/VecSumErrBranch need.
     """
     k = a.shape[-1]
     assert b.shape[-1] == k, (a.shape, b.shape)
@@ -329,11 +436,11 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
         p, e = fast_two_sum(p, e)
         return jnp.stack([p, e], axis=-1)
     p, e = two_prod(a[..., :, None], b[..., None, :])  # (..., k, k)
-    lvl = np.arange(k)[:, None] + np.arange(k)[None, :]
-    p = jnp.where(jnp.asarray(lvl <= k), p, 0.0)
-    e = jnp.where(jnp.asarray(lvl < k), e, 0.0)
-    words = jnp.concatenate([p, e], axis=-1)
-    return renorm_words(words.reshape(*words.shape[:-2], 2 * k * k), k)
+    words = jnp.concatenate(
+        [p.reshape(*p.shape[:-2], k * k), e.reshape(*e.shape[:-2], k * k)],
+        axis=-1)
+    order = jnp.asarray(np.array(_mul_order(k)))
+    return renorm_words(words[..., order], k, sort=False)
 
 
 def mul_f64(a: MPArray, x) -> MPArray:
@@ -342,10 +449,16 @@ def mul_f64(a: MPArray, x) -> MPArray:
     x = jnp.broadcast_to(jnp.asarray(x, a.dtype), a.shape[:-1])
     if k == 1:
         return (a[..., 0] * x)[..., None]
-    # vectorized: exact two_prod for words 0..k-2, value-only for k-1
+    # vectorized: exact two_prod for words 0..k-2, value-only for k-1;
+    # static level interleave [p0, p1, e0, p2, e1, ...] (p_i level i,
+    # e_i level i+1) keeps the sequence decreasing without a sort
     p, e = two_prod(a, x[..., None])
-    e = jnp.where(jnp.asarray(np.arange(k) < k - 1), e, 0.0)
-    return renorm_words(jnp.concatenate([p, e], axis=-1), k)
+    order = np.empty(2 * k - 1, dtype=np.int64)
+    order[0] = 0
+    order[1::2] = np.arange(1, k)            # p_1 .. p_{k-1}
+    order[2::2] = k + np.arange(k - 1)       # e_0 .. e_{k-2}
+    words = jnp.concatenate([p, e[..., :-1]], axis=-1)
+    return renorm_words(words[..., jnp.asarray(order)], k, sort=False)
 
 
 def mul_scalar(a: MPArray, s) -> MPArray:
@@ -387,7 +500,8 @@ def div(a: MPArray, b: MPArray) -> MPArray:
 
 
 def recip(b: MPArray) -> MPArray:
-    one = from_f64(jnp.ones(b.shape[:-1]), b.shape[-1], dtype=b.dtype)
+    one = const_word(jnp.ones(b.shape[:-1], b.dtype), b.shape[-1],
+                     dtype=b.dtype)
     return div(one, b)
 
 
@@ -399,8 +513,8 @@ def sqrt(a: MPArray) -> MPArray:
     k = a.shape[-1]
     if k == 1:
         return jnp.sqrt(a)
-    y0 = (1.0 / jnp.sqrt(a[..., 0].astype(jnp.float64))).astype(a.dtype)
-    y = from_f64(y0, k, dtype=a.dtype) if a.dtype == jnp.float64 else _seed(y0, k)
+    y0 = jax.lax.rsqrt(a[..., 0])
+    y = _seed(y0, k)
     half = 0.5
     # Each Newton step doubles correct bits: y <- y + y*(1 - a*y^2)/2.
     # fori_loop keeps the graph size independent of the step count.
@@ -458,18 +572,31 @@ def min_(a: MPArray, b: MPArray) -> MPArray:
 
 
 def max_abs(a: MPArray, axes=None):
-    """max |a| over the given batch axes (all by default) -> MP scalar."""
+    """max |a| over the given batch axes (all by default).
+
+    Argmax on the leading word picks the winner (valid for normalized
+    expansions: word 0 dominates; ties differ below one ulp, which is
+    irrelevant for the threshold comparisons this feeds)."""
     aa = abs_(a)
     if axes is None:
         axes = tuple(range(a.ndim - 1))
-    # Lexicographic max works on normalized same-sign (>=0) expansions:
-    # reduce word-0 first, tie-break is below ulp and irrelevant for the
-    # error reporting this feeds (reference compares against thresholds).
-    flat = aa.reshape((-1, a.shape[-1])) if axes == tuple(range(a.ndim - 1)) else None
-    if flat is not None:
+    axes = tuple(ax % (a.ndim - 1) for ax in axes)
+    if axes == tuple(range(a.ndim - 1)):
+        flat = aa.reshape((-1, a.shape[-1]))
         idx = jnp.argmax(flat[:, 0])
         return flat[idx]
-    raise NotImplementedError("max_abs over a subset of axes")
+    # subset of batch axes: move reduced axes to the front, flatten,
+    # take_along_axis with the leading-word argmax
+    nb = a.ndim - 1
+    keep = tuple(ax for ax in range(nb) if ax not in axes)
+    perm = axes + keep + (nb,)
+    m = jnp.transpose(aa, perm)
+    red = 1
+    for ax in axes:
+        red *= a.shape[ax]
+    m = m.reshape((red,) + m.shape[len(axes):])  # (red, *keep, K)
+    idx = jnp.argmax(m[..., 0], axis=0)
+    return jnp.take_along_axis(m, idx[None, ..., None], axis=0)[0]
 
 
 def sum_(a: MPArray, axis=0) -> MPArray:

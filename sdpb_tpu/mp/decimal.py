@@ -90,6 +90,62 @@ def to_decimal(words, digits: int | None = None) -> str:
     )
 
 
+def _np_two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def words_to_dtype(words: np.ndarray, k_out: int, dtype) -> np.ndarray:
+    """Host-side (numpy, IEEE-exact) conversion between word dtypes,
+    e.g. K f64 words -> K' f32 words.  Used to prepare problem data for
+    the TPU f32-word path without running any device arithmetic.
+
+    Splits each source word exactly into destination words, then
+    renormalizes with a two_sum chain (inputs are magnitude-ordered by
+    construction, so no sort is needed)."""
+    words = np.asarray(words)
+    dtype = np.dtype(dtype)
+    src = []
+    for i in range(words.shape[-1]):
+        r = words[..., i].astype(np.float64)
+        for _ in range(3 if dtype == np.float32 else 1):
+            w = r.astype(dtype)
+            src.append(w)
+            r = r - w.astype(np.float64)
+    # interleave-free: source list is per-original-word triples, which
+    # is only approximately decreasing; a VecSum chain (exact) followed
+    # by a top-down emit keeps the value
+    m = np.stack([w.astype(dtype) for w in src], axis=-1)
+    n = m.shape[-1]
+    # bottom-up two_sum distillation
+    s = m[..., -1]
+    errs = []
+    for i in range(n - 2, -1, -1):
+        s, e = _np_two_sum(m[..., i], s)
+        errs.append(e)
+    seq = [s] + errs[::-1]
+    # top-down: accumulate, emitting the running value each step
+    out = np.zeros(words.shape[:-1] + (k_out,), dtype=dtype)
+    acc = seq[0]
+    j = np.zeros(words.shape[:-1], dtype=np.int64)
+    for w in seq[1:]:
+        s2, e2 = _np_two_sum(acc, w)
+        emit = (e2 != 0) & (j < k_out - 1)
+        if emit.any():
+            flat = out.reshape(-1, k_out)
+            jf = j.reshape(-1)
+            ef = emit.reshape(-1)
+            sf = s2.reshape(-1)
+            flat[np.nonzero(ef)[0], jf[ef]] = sf[ef]
+        j = j + emit
+        acc = np.where(emit, e2, s2)
+    # final carry lands in the next free slot (j <= k_out-1 always)
+    flat = out.reshape(-1, k_out)
+    flat[np.arange(flat.shape[0]), j.reshape(-1)] = acc.reshape(-1)
+    return out
+
+
 def array_from_decimal(strings, k: int = DEFAULT_K) -> np.ndarray:
     """Vectorized from_decimal over a nested list of strings."""
     arr = np.asarray(strings, dtype=object)

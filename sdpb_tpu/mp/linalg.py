@@ -7,9 +7,12 @@ reference leans on (El::Cholesky / Trsm / Syrk / Gemm — e.g.
 `.../compute_bilinear_pairings/compute_A_X_inv.cxx`,
 `.../initialize_schur_complement_solver/compute_Q.cxx`).
 
-The implementations here are straightforward vectorized expansions
-(VPU-only); the MXU-accelerated sliced-integer matmul backend lives in
-`sdpb_tpu.ops` and is used by `matmul` when profitable.
+The implementations here are vectorized expansion arithmetic (VPU);
+Cholesky/Trsm are panel-blocked so the O(n^3) bulk runs as MP matmuls.
+The MXU-accelerated exact integer SYRK backend lives in `sdpb_tpu.ops`
+and is wired into the solver's Q computation (see
+`solver.bucket_iteration.schur_factorize`), not into this module's
+generic `matmul`.
 """
 
 from __future__ import annotations
@@ -114,18 +117,23 @@ def frobenius(a: MPArray, b: MPArray) -> MPArray:
 # ---------------------------------------------------------------------------
 # Cholesky and triangular solves
 # ---------------------------------------------------------------------------
+#
+# All three are PANEL-BLOCKED (the reference gets blocked kernels from
+# Elemental for free, e.g. `run/cholesky_decomposition.cxx`): the O(n^3)
+# bulk runs as MP matmuls (vectorized expansion products), and only the
+# O(n * panel) panel factorizations stay sequential.  Padding to a panel
+# multiple uses an identity diagonal, which factors/solves trivially.
+
+_PANEL = 32
+
 
 @jax.jit
-def cholesky(a: MPArray) -> MPArray:
-    """Lower Cholesky of a symmetric positive-definite MP matrix (n,n,K).
-
-    Unblocked right-looking; non-PD inputs yield NaNs, which the solver
-    treats as a precision failure exactly as the reference treats
-    Elemental's non-HPD exception (`docs/Usage.md:270-273`).
-    """
+def _cholesky_unblocked(a: MPArray) -> MPArray:
+    """Unblocked right-looking Cholesky (n,n,K); non-PD inputs yield
+    NaNs, which the solver treats as a precision failure exactly as the
+    reference treats Elemental's non-HPD exception
+    (`docs/Usage.md:270-273`)."""
     n, k = a.shape[-3], a.shape[-1]
-    if a.ndim > 3:
-        return jax.vmap(cholesky)(a)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 
     def body(j, mat):
@@ -147,14 +155,67 @@ def cholesky(a: MPArray) -> MPArray:
     return jnp.where(lower_mask, out, 0.0)
 
 
+def _pad_identity(a: MPArray, npad: int) -> MPArray:
+    """Extend (n,n,K) to (n+npad, n+npad, K) with an identity corner."""
+    n, k = a.shape[-3], a.shape[-1]
+    out = jnp.zeros((n + npad, n + npad, k), a.dtype)
+    out = jax.lax.dynamic_update_slice(out, a, (0, 0, 0))
+    idx = n + jnp.arange(npad)
+    return out.at[idx, idx, 0].set(1.0)
+
+
 @jax.jit
-def solve_lower(l: MPArray, b: MPArray) -> MPArray:
+def cholesky(a: MPArray) -> MPArray:
+    """Lower Cholesky of a symmetric positive-definite MP matrix (n,n,K).
+
+    Panel-blocked right-looking: sequential work is one _PANEL-wide
+    panel factorization per step; the trailing update is a single MP
+    matmul (`Elemental's blocked Cholesky, used by the reference's
+    run/cholesky_decomposition.cxx`)."""
+    n, k = a.shape[-3], a.shape[-1]
+    if a.ndim > 3:
+        return jax.vmap(cholesky)(a)
+    nb = _PANEL
+    if n <= 2 * nb:
+        return _cholesky_unblocked(a)
+    npad = (-n) % nb
+    if npad:
+        a = _pad_identity(a, npad)
+    N = n + npad
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+
+    def col_step(j, t, C):
+        piv = jax.lax.dynamic_slice(C, (j + t, t, 0), (1, 1, k))[0, 0]
+        d = core.sqrt(piv)
+        col = core.div(C[:, t], jnp.broadcast_to(d, (N, k)))
+        below = rows > (j + t)
+        col = jnp.where(below[:, None], col,
+                        jnp.where((rows == j + t)[:, None], d[None, :], 0.0))
+        C = jax.lax.dynamic_update_slice(C, col[:, None, :], (0, t, 0))
+        colp = jax.lax.dynamic_slice(col, (j, 0), (nb, k))  # multipliers
+        upd = core.mul(col[:, None, :], colp[None, :, :])   # (N, nb, K)
+        cmask = (jnp.arange(nb) > t)[None, :, None]
+        return core.add(C, jnp.where(cmask, -upd, 0.0))
+
+    def panel_step(pi, mat):
+        j = pi * nb
+        C = jax.lax.dynamic_slice(mat, (0, j, 0), (N, nb, k))
+        C = jnp.where((rows >= j)[:, None, None], C, 0.0)
+        C = jax.lax.fori_loop(0, nb, lambda t, c: col_step(j, t, c), C)
+        mat = jax.lax.dynamic_update_slice(mat, C, (0, j, 0))
+        P = jnp.where((rows >= j + nb)[:, None, None], C, 0.0)
+        return core.add(mat, core.neg(matmul(P, P, transpose_b=True)))
+
+    out = jax.lax.fori_loop(0, N // nb, panel_step, a)
+    lower_mask = (rows[:, None] >= rows[None, :])[:, :, None]
+    out = jnp.where(lower_mask, out, 0.0)
+    return out[:n, :n] if npad else out
+
+
+@jax.jit
+def _solve_lower_unblocked(l: MPArray, b: MPArray) -> MPArray:
     """X = L^{-1} B by forward substitution; L (n,n,K) lower, B (n,m,K)."""
     n, k = l.shape[-3], l.shape[-1]
-    if l.ndim > 3:
-        return jax.vmap(solve_lower)(l, b)
-    if b.ndim == 2:
-        return solve_lower(l, b[:, None, :])[:, 0, :]
     m = b.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 
@@ -171,13 +232,44 @@ def solve_lower(l: MPArray, b: MPArray) -> MPArray:
 
 
 @jax.jit
-def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
-    """X = L^{-T} B by backward substitution."""
+def solve_lower(l: MPArray, b: MPArray) -> MPArray:
+    """X = L^{-1} B, panel-blocked forward substitution: per panel one
+    small unblocked solve plus one MP matmul update of the rows below."""
     n, k = l.shape[-3], l.shape[-1]
     if l.ndim > 3:
-        return jax.vmap(solve_lower_t)(l, b)
+        return jax.vmap(solve_lower)(l, b)
     if b.ndim == 2:
-        return solve_lower_t(l, b[:, None, :])[:, 0, :]
+        return solve_lower(l, b[:, None, :])[:, 0, :]
+    nb = _PANEL
+    if n <= 2 * nb:
+        return _solve_lower_unblocked(l, b)
+    m = b.shape[-2]
+    npad = (-n) % nb
+    if npad:
+        l = _pad_identity(l, npad)
+        b = jnp.concatenate(
+            [b, jnp.zeros((npad, m, k), b.dtype)], axis=0)
+    N = n + npad
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+
+    def panel_step(pi, x):
+        j = pi * nb
+        l11 = jax.lax.dynamic_slice(l, (j, j, 0), (nb, nb, k))
+        bp = jax.lax.dynamic_slice(x, (j, 0, 0), (nb, m, k))
+        xp = _solve_lower_unblocked(l11, bp)
+        x = jax.lax.dynamic_update_slice(x, xp, (j, 0, 0))
+        lcol = jax.lax.dynamic_slice(l, (0, j, 0), (N, nb, k))
+        lcol = jnp.where((rows >= j + nb)[:, None, None], lcol, 0.0)
+        return core.add(x, core.neg(matmul(lcol, xp)))
+
+    out = jax.lax.fori_loop(0, N // nb, panel_step, b)
+    return out[:n] if npad else out
+
+
+@jax.jit
+def _solve_lower_t_unblocked(l: MPArray, b: MPArray) -> MPArray:
+    """X = L^{-T} B by backward substitution."""
+    n, k = l.shape[-3], l.shape[-1]
     m = b.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 
@@ -192,6 +284,42 @@ def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
 
     x0 = jnp.zeros_like(b)
     return jax.lax.fori_loop(0, n, body, x0)
+
+
+@jax.jit
+def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
+    """X = L^{-T} B, panel-blocked backward substitution."""
+    n, k = l.shape[-3], l.shape[-1]
+    if l.ndim > 3:
+        return jax.vmap(solve_lower_t)(l, b)
+    if b.ndim == 2:
+        return solve_lower_t(l, b[:, None, :])[:, 0, :]
+    nb = _PANEL
+    if n <= 2 * nb:
+        return _solve_lower_t_unblocked(l, b)
+    m = b.shape[-2]
+    npad = (-n) % nb
+    if npad:
+        l = _pad_identity(l, npad)
+        b = jnp.concatenate(
+            [b, jnp.zeros((npad, m, k), b.dtype)], axis=0)
+    N = n + npad
+    cols = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    npanels = N // nb
+
+    def panel_step(t, x):
+        j = (npanels - 1 - t) * nb
+        l11 = jax.lax.dynamic_slice(l, (j, j, 0), (nb, nb, k))
+        bp = jax.lax.dynamic_slice(x, (j, 0, 0), (nb, m, k))
+        xp = _solve_lower_t_unblocked(l11, bp)
+        x = jax.lax.dynamic_update_slice(x, xp, (j, 0, 0))
+        # rows r < j depend on L[j:j+nb, r]^T: x[:j] -= L_panel^T xp
+        lrow = jax.lax.dynamic_slice(l, (j, 0, 0), (nb, N, k))
+        lrow = jnp.where((cols < j)[None, :, None], lrow, 0.0)
+        return core.add(x, core.neg(matmul(lrow, xp, transpose_a=True)))
+
+    out = jax.lax.fori_loop(0, npanels, panel_step, b)
+    return out[:n] if npad else out
 
 
 def cholesky_solve(l: MPArray, b: MPArray) -> MPArray:

@@ -135,18 +135,18 @@ def make_sharded_step(shape: BlockShape, gamma: float = 0.7,
         dres = vblock(
             lambda bl, a: it._dual_residues_block(bl, list(a), state.y),
             tuple(ay))
-        dual_error = pmax(jnp.max(jnp.abs(mp.to_f64(dres))))
+        dual_error = pmax(jnp.max(jnp.abs(mp.approx(dres))))
 
         w = vblock(lambda bl, x_: it._weighted_sum_block(bl, x_), state.x)
         primal_res = tuple(mp.sub(w[p], state.X[p]) for p in parities)
         primal_error_P = pmax(jnp.maximum(
-            jnp.max(jnp.abs(mp.to_f64(primal_res[0]))),
-            jnp.max(jnp.abs(mp.to_f64(primal_res[1])))))
+            jnp.max(jnp.abs(mp.approx(primal_res[0]))),
+            jnp.max(jnp.abs(mp.approx(primal_res[1])))))
 
         primal_res_p = mp.sub(b_vec, sum_mp(mp.sum_(jax.vmap(
             lambda B_, x_: la.matvec(B_, x_, transpose=True))(
                 bucket.B, state.x), axis=0)))
-        primal_error_p = jnp.max(jnp.abs(mp.to_f64(primal_res_p)))
+        primal_error_p = jnp.max(jnp.abs(mp.approx(primal_res_p)))
 
         # --- Schur factorization (Q reduction = the global collective) ---
         S = vblock(lambda bl, a, b: it._schur_complement_block(
@@ -165,7 +165,7 @@ def make_sharded_step(shape: BlockShape, gamma: float = 0.7,
             tr_local = mp.add(tr_local,
                               mp.sum_(jax.vmap(la.trace)(minus_XY[p]), axis=0))
         mu = mp.div(mp.neg(sum_mp(tr_local)),
-                    mp.from_f64(jnp.asarray(float(total_psd_rows)), k,
+                    mp.const_word(jnp.asarray(float(total_psd_rows), dtype), k,
                                 dtype=dtype))
 
         def direction(beta_mu, dXdY):
@@ -203,7 +203,7 @@ def make_sharded_step(shape: BlockShape, gamma: float = 0.7,
                 state.X[p], dX[p], state.Y[p], dY[p]), axis=0))
         r = mp.div(sum_mp(frob_local),
                    mp.mul_f64(mu, jnp.asarray(float(total_psd_rows), dtype)))
-        one = mp.from_f64(jnp.asarray(1.0), k, dtype=dtype)
+        one = mp.const_word(jnp.asarray(1.0, dtype), k, dtype=dtype)
         beta = mp.where(mp.cmp_lt(r, one), mp.mul(r, r), r)
         beta = mp.max_(beta_infeasible, beta)
 
@@ -211,15 +211,15 @@ def make_sharded_step(shape: BlockShape, gamma: float = 0.7,
         dx, dX, dy, dY = direction(mp.mul(beta, mu), dXdY)
 
         # --- step lengths ---
-        lam_p = jnp.asarray(jnp.inf, jnp.float64)
-        lam_d = jnp.asarray(jnp.inf, jnp.float64)
+        lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(bucket.c.dtype))
+        lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(bucket.c.dtype))
         for p in parities:
             cp = jax.vmap(la.lower_inverse_congruence)(L_X[p], dX[p])
             lam_p = jnp.minimum(lam_p, jnp.min(jax.vmap(
-                lambda c_: jnp.linalg.eigvalsh(mp.to_f64(c_))[0])(cp)))
+                lambda c_: jnp.linalg.eigvalsh(mp.approx(c_))[0])(cp)))
             cd = jax.vmap(la.lower_inverse_congruence)(L_Y[p], dY[p])
             lam_d = jnp.minimum(lam_d, jnp.min(jax.vmap(
-                lambda c_: jnp.linalg.eigvalsh(mp.to_f64(c_))[0])(cd)))
+                lambda c_: jnp.linalg.eigvalsh(mp.approx(c_))[0])(cd)))
         lam_p = pmin(lam_p)
         lam_d = pmin(lam_d)
 
@@ -239,13 +239,13 @@ def make_sharded_step(shape: BlockShape, gamma: float = 0.7,
                     for p in parities),
         )
         info = {
-            "mu": mp.to_f64(mu),
+            "mu": mp.approx(mu),
             "dual_error": dual_error,
             "primal_error_P": primal_error_P,
             "primal_error_p": primal_error_p,
             "primal_step": alpha_p,
             "dual_step": alpha_d,
-            "cx": mp.to_f64(cx),
+            "cx": mp.approx(cx),
         }
         return new_state, info
 

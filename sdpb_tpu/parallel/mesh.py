@@ -223,10 +223,10 @@ def _residues_kernel(mesh, shape):
          _bx) = bi._residues_bucket.__wrapped__(bk, x, X, Y, y)
         # masked global contributions
         derr = jax.lax.pmax(jnp.max(
-            jnp.abs(mp.to_f64(_mask_mp(dual_res, mask)))), AXIS)
+            jnp.abs(mp.approx(_mask_mp(dual_res, mask)))), AXIS)
         pars = bi._parities(bk.shape)
         perr = jax.lax.pmax(jnp.max(jnp.stack(
-            [jnp.max(jnp.abs(mp.to_f64(_mask_mp(primal_res[p], mask))))
+            [jnp.max(jnp.abs(mp.approx(_mask_mp(primal_res[p], mask))))
              for p in pars])), AXIS)
         cx = _sum_mp(mp.sum_(jax.vmap(
             lambda c_, x_: mp.dot(c_, x_, axis=0))(
@@ -340,7 +340,7 @@ def _r_error_kernel(mesh, shape):
     def fn(mask, minus_XY, mu):
         pars = [p for p in range(2) if minus_XY[p].shape[1] > 0]
         return jax.lax.pmax(jnp.max(jnp.stack([
-            jnp.max(jnp.abs(mp.to_f64(_mask_mp(
+            jnp.max(jnp.abs(mp.approx(_mask_mp(
                 la.add_diag(minus_XY[p], mu), mask))))
             for p in pars])), AXIS)
 
@@ -361,8 +361,7 @@ def compute_xy_mu(problem: MeshProblem, state: BucketedState,
         mb.mask, tuple(minus_XY[i]), mu))
         for i, mb in enumerate(problem.buckets)]
     k = problem.b.shape[-1]
-    R_error = mp.from_f64(jnp.asarray(float(np.max(r_errs))), k,
-                          dtype=problem.b.dtype)
+    R_error = mp.from_f64_np(float(np.max(r_errs)), k, problem.b.dtype)
     return minus_XY, mu, R_error, terminate_max_c
 
 
@@ -472,8 +471,8 @@ def _lambda_kernel(mesh, shape):
     r = P()
 
     def fn(bk, mask, L_X, dX, L_Y, dY):
-        lam_p = jnp.asarray(jnp.inf, jnp.float64)
-        lam_d = jnp.asarray(jnp.inf, jnp.float64)
+        lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
+        lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
         for p in bi._parities(bk.shape):
             cp = jax.vmap(la.lower_inverse_congruence)(L_X[p], dX[p])
             lp = jax.vmap(it._min_eig_f64)(cp)

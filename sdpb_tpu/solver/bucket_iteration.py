@@ -84,13 +84,13 @@ def _residues_bucket(bk, x, X, Y, y):
 
     dual_res = _vblock(bk, lambda bl, ayl: it._dual_residues_block(
         bl, list(ayl), y), tuple(ay))
-    derr = jnp.max(jnp.abs(mp.to_f64(dual_res)))
+    derr = jnp.max(jnp.abs(mp.approx(dual_res)))
 
     w = _vblock(bk, lambda bl, x_: it._weighted_sum_block(bl, x_), x)
     primal_res = tuple(mp.sub(w[p], X[p]) if p in pars else w[p]
                        for p in range(2))
     perr = jnp.max(jnp.stack(
-        [jnp.max(jnp.abs(mp.to_f64(primal_res[p]))) for p in pars]))
+        [jnp.max(jnp.abs(mp.approx(primal_res[p]))) for p in pars]))
 
     cx = mp.sum_(jax.vmap(lambda c_, x_: mp.dot(c_, x_, axis=0))(bk.c, x),
                  axis=0)
@@ -118,11 +118,11 @@ def _residues_combine(objective_const, b, y, cx_parts, bx_parts, derrs,
         mp.add(mp.abs_(primal_objective), mp.abs_(dual_objective)), one)
     duality_gap = mp.div(gap_num, gap_den)
     primal_res_p = mp.sub(b, bx)
-    primal_error_p = jnp.max(jnp.abs(mp.to_f64(primal_res_p)))
+    primal_error_p = jnp.max(jnp.abs(mp.approx(primal_res_p)))
     # error norms as MP scalars for threshold comparisons: f64 maxima
     # suffice (1e-16 relative granularity on 1e-30 thresholds, same as
     # what the reference prints); promote to MP.
-    to_mp = lambda v: mp.from_f64(v, k, dtype=dtype)
+    to_mp = lambda v: mp.const_word(v.astype(dtype), k, dtype=dtype)
     return (primal_objective, dual_objective, duality_gap,
             to_mp(jnp.max(jnp.stack(derrs))),
             to_mp(jnp.max(jnp.stack(perrs))),
@@ -218,8 +218,8 @@ def _mu_combine(tr_parts, total_psd_rows, max_complementarity):
     tr = tr_parts[0]
     for t in tr_parts[1:]:
         tr = mp.add(tr, t)
-    mu = mp.div(mp.neg(tr), mp.from_f64(
-        jnp.asarray(float(total_psd_rows)), k, dtype=dtype))
+    mu = mp.div(mp.neg(tr), mp.const_word(
+        jnp.asarray(float(total_psd_rows), dtype), k, dtype=dtype))
     terminate = mp.cmp_lt(jnp.asarray(max_complementarity, dtype), mu)
     return mu, terminate
 
@@ -228,7 +228,7 @@ def _mu_combine(tr_parts, total_psd_rows, max_complementarity):
 def _r_error_bucket(bk, minus_XY, mu):
     pars = _parities(bk.shape)
     return jnp.max(jnp.stack([
-        jnp.max(jnp.abs(mp.to_f64(la.add_diag(minus_XY[p], mu))))
+        jnp.max(jnp.abs(mp.approx(la.add_diag(minus_XY[p], mu))))
         for p in pars]))
 
 
@@ -244,8 +244,7 @@ def compute_xy_mu(problem: BucketedProblem, state: BucketedState,
     r_errs = [np.asarray(_r_error_bucket(bk, minus_XY[bi], mu))
               for bi, bk in enumerate(problem.buckets)]
     k = problem.b.shape[-1]
-    R_error = mp.from_f64(jnp.asarray(float(np.max(r_errs))), k,
-                          dtype=problem.b.dtype)
+    R_error = mp.from_f64_np(float(np.max(r_errs)), k, problem.b.dtype)
     return minus_XY, mu, R_error, terminate_max_c
 
 
@@ -377,7 +376,7 @@ def _beta_combine(frob_parts, mu, total_psd_rows, feasible,
         frob = mp.add(frob, f)
     r = mp.div(frob, mp.mul_f64(mu, jnp.asarray(float(total_psd_rows),
                                                 dtype)))
-    one = mp.from_f64(jnp.asarray(1.0), k, dtype=dtype)
+    one = mp.const_word(jnp.asarray(1.0, dtype), k, dtype=dtype)
     beta = mp.where(mp.cmp_lt(r, one), mp.mul(r, r), r)
     feas = mp.min_(mp.max_(jnp.asarray(feasible_centering, dtype), beta), one)
     infeas = mp.max_(jnp.asarray(infeasible_centering, dtype), beta)
@@ -399,8 +398,8 @@ def corrector_beta(problem: BucketedProblem, state: BucketedState, dX, dY,
 
 @jax.jit
 def _lambda_bucket(bk, L_X, dX, L_Y, dY):
-    lam_p = jnp.asarray(jnp.inf, jnp.float64)
-    lam_d = jnp.asarray(jnp.inf, jnp.float64)
+    lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
+    lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
     for p in _parities(bk.shape):
         cp = jax.vmap(la.lower_inverse_congruence)(L_X[p], dX[p])
         lam_p = jnp.minimum(lam_p, jnp.min(jax.vmap(it._min_eig_f64)(cp)))

@@ -143,8 +143,41 @@ def build_u(q: np.ndarray, m: int) -> np.ndarray:
     return u.reshape(m * h, m * pts, k)
 
 
+def raw_to_dtype(raw, k: int, dtype):
+    """Convert a RawSDP's f64-word arrays to ``k`` words of ``dtype``
+    (host-side, numpy-exact).  Used to prepare the TPU f32-word path:
+    a plain elementwise cast would silently drop each word's low 29
+    bits; this renormalizes properly (mp/decimal.words_to_dtype)."""
+    import copy
+
+    from ..mp import decimal as mpdec
+
+    dtype = np.dtype(jnp.dtype(dtype).name)
+    conv = lambda a: mpdec.words_to_dtype(np.asarray(a), k, dtype)
+    out = copy.copy(raw)
+    out.objective_const = conv(raw.objective_const)
+    out.b = conv(raw.b)
+    out.blocks = [
+        dataclasses.replace(
+            rb,
+            bilinear_bases_even=conv(rb.bilinear_bases_even),
+            bilinear_bases_odd=conv(rb.bilinear_bases_odd),
+            c=conv(rb.c), B=conv(rb.B),
+        )
+        for rb in raw.blocks
+    ]
+    return out
+
+
 def problem_from_raw(raw, dtype=jnp.float64) -> SDPProblem:
-    """Build an SDPProblem from io.sdp_json.RawSDP."""
+    """Build an SDPProblem from io.sdp_json.RawSDP.
+
+    ``dtype`` must match the word dtype of the raw arrays (use
+    ``raw_to_dtype`` first for f32 words -- a plain cast here would
+    corrupt the words)."""
+    if jnp.dtype(dtype) != jnp.dtype(np.asarray(raw.b).dtype):
+        k = np.asarray(raw.b).shape[-1]
+        raw = raw_to_dtype(raw, k, dtype)
     blocks = []
     for rb in raw.blocks:
         shape = block_shape_of(rb.dim, rb.num_points)

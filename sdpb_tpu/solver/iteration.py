@@ -335,8 +335,8 @@ def compute_xy_mu(problem: SDPProblem, state: SolverState, max_complementarity):
             mb.append(mxy)
             tr = mp.add(tr, la.trace(mxy))
         minus_XY.append(tuple(mb))
-    mu = mp.div(mp.neg(tr), mp.from_f64(
-        jnp.asarray(float(problem.total_psd_rows)), k, dtype=dtype))
+    mu = mp.div(mp.neg(tr), mp.const_word(
+        jnp.asarray(float(problem.total_psd_rows), dtype), k, dtype=dtype))
     terminate_max_c = mp.cmp_lt(jnp.asarray(max_complementarity, dtype), mu)
     r_err = []
     for i, bl in enumerate(problem.blocks):
@@ -441,7 +441,7 @@ def corrector_beta(problem: SDPProblem, state: SolverState, dX, dY, mu,
             frob = mp.add(frob, la.frobenius(xs, ys))
     r = mp.div(frob, mp.mul_f64(mu, jnp.asarray(
         float(problem.total_psd_rows), dtype)))
-    one = mp.from_f64(jnp.asarray(1.0), k, dtype=dtype)
+    one = mp.const_word(jnp.asarray(1.0, dtype), k, dtype=dtype)
     beta = mp.where(mp.cmp_lt(r, one), mp.mul(r, r), r)
     feas = mp.min_(mp.max_(jnp.asarray(feasible_centering, dtype), beta), one)
     infeas = mp.max_(jnp.asarray(infeasible_centering, dtype), beta)
@@ -451,19 +451,18 @@ def corrector_beta(problem: SDPProblem, state: SolverState, dX, dY, mu,
 # --- Phase 2e: step lengths and update -------------------------------------
 
 def _min_eig_f64(c_mp):
-    """lambda_min of a symmetric MP matrix via float64 eigh.
+    """lambda_min of a symmetric MP matrix via word-dtype eigh.
 
     The reference computes full-precision HermitianEig
-    (`step_length/min_eigenvalue.cxx`); f64 accuracy (~1e-14 relative)
-    is ample for the step length, which carries a (1-gamma)=0.3 PD
-    safety margin.  TODO: optional MP bisection refinement for
-    bit-parity studies."""
-    c64 = mp.to_f64(c_mp)
-    return jnp.linalg.eigvalsh(c64)[0]
+    (`step_length/min_eigenvalue.cxx`); word-dtype accuracy (f64
+    ~1e-14, f32 ~1e-6 relative) is ample for the step length, which
+    carries a (1-gamma)=0.3 PD safety margin.  TODO: optional MP
+    Rayleigh refinement for bit-parity studies."""
+    return jnp.linalg.eigvalsh(mp.approx(c_mp))[0]
 
 
 def _min_lambda(L, dM, parities):
-    lam = jnp.asarray(jnp.inf, jnp.float64)
+    lam = jnp.asarray(jnp.inf, mp.approx_dtype(L[0].dtype))
     for p in parities:
         c = la.lower_inverse_congruence(L[p], dM[p])
         lam = jnp.minimum(lam, _min_eig_f64(c))
@@ -476,8 +475,8 @@ def apply_step(problem: SDPProblem, state: SolverState, res: Residues,
     """Step lengths (`step_length.cxx`) and the iterate update
     (`step.cxx:206-224`).  ``feasible`` (traced bool) equalizes the
     primal/dual steps when primal-dual feasible."""
-    lam_p = jnp.asarray(jnp.inf, jnp.float64)
-    lam_d = jnp.asarray(jnp.inf, jnp.float64)
+    lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(problem.b.dtype))
+    lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(problem.b.dtype))
     for i, bl in enumerate(problem.blocks):
         pars = _parities(bl)
         lam_p = jnp.minimum(lam_p, _min_lambda(res.L_X[i], dX[i], pars))

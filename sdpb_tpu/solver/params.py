@@ -39,19 +39,27 @@ class SolverParams:
     find_dual_feasible: bool = False
     detect_primal_feasible_jump: bool = False
     detect_dual_feasible_jump: bool = False
+    # Word dtype of the MP arithmetic: "float64" (CPU; correctly-rounded
+    # IEEE doubles) or "float32" (TPU; the VPU's native correctly-rounded
+    # type -- TPU f64 is an unrounded emulation, see mp/core.py).
+    word_dtype: str = "float64"
 
     @property
     def n_words(self) -> int:
-        """Word count for f64 words (53 bits each)."""
-        return max(2, -(-self.precision // 53))
+        """Word count at the configured word dtype (53 or 24 bits/word)."""
+        bits = mpcore.WORD_BITS[jnp.dtype(self.word_dtype)]
+        return max(2, -(-self.precision // bits))
 
     # -- MP constants (cached per dtype; numpy so they are never
     #    created inside a jit trace) ------------------------------------
     @functools.lru_cache(maxsize=None)
     def _const(self, decimal: str, dtype_name: str):
         k = self.n_words
-        words = mpdec.from_decimal(decimal, k)
-        return np.asarray(words, dtype=np.dtype(dtype_name))
+        if np.dtype(dtype_name) == np.float64:
+            return np.asarray(mpdec.from_decimal(decimal, k))
+        k64 = max(2, -(-self.precision // 53)) + 1
+        words = mpdec.from_decimal(decimal, k64)
+        return mpdec.words_to_dtype(words, k, np.dtype(dtype_name))
 
     def mpconst(self, decimal: str, dtype=jnp.float64):
         return self._const(decimal, jnp.dtype(dtype).name)

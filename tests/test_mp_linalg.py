@@ -175,3 +175,37 @@ def test_batched_cholesky_vmap():
     l = mp.linalg.cholesky(mp.from_f64(a64, 4))
     want = np.stack([np.linalg.cholesky(a64[i]) for i in range(3)])
     np.testing.assert_allclose(core.to_f64(l), want, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("n", [80, 96])
+def test_blocked_cholesky_and_solves(n):
+    """n > 2*_PANEL exercises the panel-blocked Cholesky/Trsm paths
+    (n=80 additionally exercises the identity padding, 80 % 32 != 0);
+    roundtrip accuracy must match the unblocked contract."""
+    k = 3
+    rng = np.random.default_rng(10 + n)
+    ctx = mpmath.mp.clone()
+    ctx.prec = 53 * k + 100
+    a64 = _spd(rng, n)
+    a = mp.from_f64(a64, k)
+    l = mp.linalg.cholesky(a)
+    # L is exactly lower triangular and matches numpy at f64
+    lf = np.asarray(core.to_f64(l))
+    assert np.all(lf[np.triu_indices(n, 1)] == 0.0)
+    np.testing.assert_allclose(lf, np.linalg.cholesky(a64),
+                               rtol=1e-9, atol=1e-11)
+    # MP-accuracy roundtrip: L L^T == A to ~full precision
+    res = core.sub(mp.linalg.matmul(l, l, transpose_b=True),
+                   mp.from_f64(np.tril(a64) + np.tril(a64, -1).T, k))
+    got = _to_mpf_mat(res, ctx)
+    scale = float(np.abs(a64).max())
+    worst = max(abs(got[i][j]) for i in range(n) for j in range(n))
+    assert worst / scale < mpmath.mpf(2) ** (-(53 * k - 40))
+    # blocked triangular solves vs the linear system truth
+    x_true = mp.from_f64(rng.standard_normal((n, 5)), k)
+    b = mp.linalg.matmul(a, x_true)
+    x = mp.linalg.cholesky_solve(l, b)
+    gx = _to_mpf_mat(x, ctx)
+    wx = _to_mpf_mat(x_true, ctx)
+    worst = max(abs(gx[i][j] - wx[i][j]) for i in range(n) for j in range(5))
+    assert worst < mpmath.mpf(2) ** (-(53 * k - 45)), mpmath.nstr(worst, 5)
