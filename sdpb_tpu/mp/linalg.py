@@ -34,10 +34,38 @@ _MATMUL_CHUNK = 128
 # Matmul / Syrk
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("transpose_a", "transpose_b"))
+# Work threshold (contraction * output elements) above which a 3-D MP
+# matmul routes to the exact integer-MXU backend (ops.mpmm): measured
+# ~70-115x faster than the naive expansion product on both CPU-XLA and
+# TPU at realistic solver sizes; below it, conversion overheads win.
+_INT_BACKEND_MIN_WORK = 16 * 1024
+
+
+def _int_backend_ok(a, b, syrk: bool) -> bool:
+    if a.ndim != 3:
+        return False
+    n = a.shape[-2]
+    work = a.shape[-3] * n * b.shape[-2]
+    return work * n >= _INT_BACKEND_MIN_WORK
+
+
 def matmul(a: MPArray, b: MPArray, transpose_a: bool = False,
            transpose_b: bool = False) -> MPArray:
-    """MP matrix product a @ b; shapes (m, n, K) x (n, p, K) -> (m, p, K)."""
+    """MP matrix product a @ b; shapes (m, n, K) x (n, p, K) -> (m, p, K).
+
+    Large un-batched products route to the exact integer pipeline
+    (`ops.mpmm`, the TPU redesign of the reference's `bigint_syrk`),
+    with `a is b` SYRK detection (checked here, outside jit, where
+    argument identity is visible); small/batched products use the naive
+    vectorized expansion arithmetic."""
+    syrk = a is b and transpose_a != transpose_b
+    return _matmul_impl(a, b, transpose_a, transpose_b, syrk)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose_a", "transpose_b",
+                                             "syrk"))
+def _matmul_impl(a: MPArray, b: MPArray, transpose_a: bool,
+                 transpose_b: bool, syrk: bool) -> MPArray:
     if transpose_a:
         a = jnp.swapaxes(a, -3, -2)
     if transpose_b:
@@ -45,6 +73,14 @@ def matmul(a: MPArray, b: MPArray, transpose_a: bool = False,
     m, n, k = a.shape[-3], a.shape[-2], a.shape[-1]
     p = b.shape[-2]
     assert b.shape[-3] == n, (a.shape, b.shape)
+    if _int_backend_ok(a, b, syrk):
+        from ..ops import mpmm
+
+        plan = mpmm.plan_for(mpmm.word_bits(a.dtype) * k, n)
+        at = jnp.swapaxes(a, -3, -2)          # (n, m, K)
+        if syrk:
+            return mpmm.syrk_mp(at, plan)
+        return mpmm.gemm_mp(at, b, plan)
     partials = []
     for start in range(0, n, _MATMUL_CHUNK):
         stop = min(start + _MATMUL_CHUNK, n)

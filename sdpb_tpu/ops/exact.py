@@ -368,6 +368,30 @@ def syrk_residues_split(r_split, plan: CrtPlan):
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
+def gemm_residues_split(a_split, b_split, plan: CrtPlan):
+    """Per-prime exact A^T B from balanced split residues
+    (ah, al) int8 (n, ma, n_primes), (bh, bl) (n, mb, n_primes)
+    -> (n_primes, ma, mb) int32 in [0, p).
+
+    Karatsuba 3-matmul form, mirroring `syrk_residues_split` (the
+    reference's off-diagonal dgemm jobs, `blas_jobs/Blas_Job.cxx`)."""
+    ah, al = a_split
+    bh, bl = b_split
+    dims = (((0,), (0,)), ((2,), (2,)))  # contract n, batch P
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.int32)
+
+    s2 = mm(ah, bh)
+    s0 = mm(al, bl)
+    asum = (ah.astype(jnp.int32) + al.astype(jnp.int32)).astype(jnp.int8)
+    bsum = (bh.astype(jnp.int32) + bl.astype(jnp.int32)).astype(jnp.int8)
+    s1 = mm(asum, bsum) - s2 - s0
+    return _syrk_combine(s2, s1, s0, plan)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
 def crt_restore_planes(q_res, plan: CrtPlan):
     """CRT-restore per-prime results q_res (P, ...) int32 in [0,p) to
     balanced carry-normalized digit planes (..., out_planes)."""

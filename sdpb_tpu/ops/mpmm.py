@@ -178,6 +178,18 @@ def planes_to_mp_dev(planes, plan: CrtPlan, k_out: int, word_dtype):
     return out
 
 
+def _poison_nonfinite(out, *inputs):
+    """Propagate NaN through the integer pipeline: bitcasts launder
+    NaN/Inf words into garbage finite digits, but the solver's
+    NaN-on-non-PD-Cholesky convention (matching the reference's
+    El::NonHPDMatrixException handling, `docs/Usage.md:270-273`)
+    requires non-finite inputs to yield non-finite outputs."""
+    bad = jnp.zeros((), jnp.bool_)
+    for x in inputs:
+        bad = bad | ~jnp.isfinite(jnp.max(jnp.abs(x[..., 0])))
+    return jnp.where(bad, jnp.asarray(jnp.nan, out.dtype), out)
+
+
 @functools.partial(jax.jit, static_argnames=("plan", "k_out"))
 def syrk_mp(x_mp, plan: CrtPlan, k_out: int | None = None):
     """Exact X^T X of an MP matrix X (n, m, K) -> (m, m, K_out),
@@ -189,7 +201,8 @@ def syrk_mp(x_mp, plan: CrtPlan, k_out: int | None = None):
     CRT restore, un-normalization."""
     k_out = k_out if k_out is not None else x_mp.shape[-1]
     q_res, e_col = syrk_residues_mp(x_mp, plan)
-    return restore_q_mp(q_res, e_col, plan, k_out, x_mp.dtype)
+    out = restore_q_mp(q_res, e_col, plan, k_out, x_mp.dtype)
+    return _poison_nonfinite(out, x_mp)
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
@@ -221,6 +234,28 @@ def restore_q_mp(q_res, e_col, plan: CrtPlan, k_out: int, word_dtype):
     return scale_pow2(w, E)
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "k_out"))
+def gemm_mp(a_mp, b_mp, plan: CrtPlan, k_out: int | None = None):
+    """Exact A^T B of MP matrices A (n, ma, K), B (n, mb, K) ->
+    (ma, mb, K_out) on-device via the int8 MXU CRT pipeline (the
+    reference's off-diagonal dgemm jobs next to `bigint_syrk_blas`).
+
+    Same backward-error contract as `syrk_mp`: inputs truncated at
+    2^-plan.bits relative to each column's power-of-2 scale."""
+    k_out = k_out if k_out is not None else a_mp.shape[-1]
+    e_a = jnp.max(exponents(a_mp), axis=0)
+    e_b = jnp.max(exponents(b_mp), axis=0)
+    da = digits_dev(scale_pow2(a_mp, -e_a[None, :]), plan)
+    db = digits_dev(scale_pow2(b_mp, -e_b[None, :]), plan)
+    c_res = exact.gemm_residues_split(
+        exact.residues_split(da, plan), exact.residues_split(db, plan), plan)
+    planes = exact.crt_restore_planes(c_res, plan)
+    w = planes_to_mp_dev(planes, plan, k_out, a_mp.dtype)
+    _, _, ref_bits, _ = _plane_words_spec(plan, k_out, a_mp.dtype)
+    E = (ref_bits - 2 * plan.shift_bits) + e_a[:, None] + e_b[None, :]
+    return _poison_nonfinite(scale_pow2(w, E), a_mp, b_mp)
+
+
 def reduce_residues_mod(q_res_sum, plan: CrtPlan):
     """Re-reduce a SUM of per-prime residue matrices into [0, p).
     Summands are each in [0, p); up to ~2^18 of them fit int32."""
@@ -229,7 +264,21 @@ def reduce_residues_mod(q_res_sum, plan: CrtPlan):
                         pow16[:, None, None])
 
 
+@functools.lru_cache(maxsize=None)
+def _plan_cached(bits: int, n_quant: int) -> CrtPlan:
+    return CrtPlan(bits=bits, n_rows_max=n_quant)
+
+
 def plan_for(precision_bits: int, n_rows_max: int) -> CrtPlan:
     """CrtPlan sized for MP inputs of ``precision_bits`` significant
-    bits (digit grid carries a margin below the last word)."""
-    return CrtPlan(bits=precision_bits + 16, n_rows_max=n_rows_max)
+    bits (digit grid carries a margin below the last word).
+
+    Plans are cached with the row bound rounded up to a power of two,
+    so jit sees identical plan objects across call sites and reuses
+    compiled kernels."""
+    n_quant = max(64, 1 << max(0, int(n_rows_max) - 1).bit_length())
+    return _plan_cached(precision_bits + 16, n_quant)
+
+
+def word_bits(dtype) -> int:
+    return 24 if jnp.dtype(dtype) == jnp.float32 else 53

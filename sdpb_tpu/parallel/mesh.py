@@ -14,12 +14,14 @@ scalar reductions (SURVEY §3.2-§3.3).  Here:
   masked to zero) and are excluded from every global reduction, so the
   sharded trajectory is bit-comparable to the single-chip one up to
   reduction ordering
-- cross-device reductions: `pmax` for error maxima (f64, like the
-  reference's MPI AllReduce MAX); MP-valued sums (Q, dy rhs, c.x,
-  trace, Frobenius) use all_gather + a local MP tree sum, because a
-  word-wise float psum is not exact.  The exact int-plane psum from
-  sdpb_tpu.ops is the planned upgrade for very large Q (mirroring the
-  reference's exact bigint reduce in `restore_and_reduce.cxx`).
+- cross-device reductions: `pmax` for error maxima (like the
+  reference's MPI AllReduce MAX); the Q reduction is an EXACT int32
+  `psum` of per-prime CRT residues before the restore (integer adds
+  cannot round) -- the TPU redesign of the reference's bigint reduce
+  (`restore_and_reduce.cxx`), see `_q_residues_kernel`; the remaining
+  small MP-valued sums (dy rhs, c.x, trace, Frobenius) use
+  all_gather + a local MP tree sum, because a word-wise float psum is
+  not exact.
 
 The driver (solver.driver.solve) accepts a MeshProblem/MeshState pair
 transparently: this module exports compute_residues / compute_step with
@@ -272,7 +274,11 @@ def compute_residues(problem: MeshProblem, state: BucketedState):
 
 
 @functools.lru_cache(maxsize=None)
-def _schur_kernel(mesh, shape):
+def _schur_chol_kernel(mesh, shape):
+    """Per-bucket S-Cholesky + L^-1 B, plus the bucket's replicated
+    column exponents / finiteness for the distributed Q SYRK."""
+    from ..ops import mpmm
+
     s = P(AXIS)
     r = P()
     npar = len(bi._parities(shape))
@@ -284,26 +290,68 @@ def _schur_kernel(mesh, shape):
         lb = la.solve_lower(ls, bk.B)
         # phantom blocks have B = 0 so lb = 0 and contribute nothing,
         # but mask anyway to stop any NaN leak
-        q_part = _sum_mp(mp.sum_(jax.vmap(
-            lambda m_: la.matmul(m_, m_, transpose_a=True))(
-            _mask_mp(lb, mask)), axis=0))
-        return ls, lb, q_part
+        lbm = _mask_mp(lb, mask)
+        e_loc = jnp.max(mpmm.exponents(lbm), axis=(0, 1))
+        e_col = jax.lax.pmax(e_loc, AXIS)
+        fin = jnp.isfinite(jnp.max(jnp.abs(lbm[..., 0]))).astype(jnp.int32)
+        fin = jax.lax.pmin(fin, AXIS)
+        return ls, lb, lbm, e_col, fin
 
     return _sharded(mesh, fn,
                     in_specs=(_bucket_spec(shape), s, [s] * npar,
                               [s] * npar),
-                    out_specs=(s, s, r))
+                    out_specs=(s, s, s, r, r))
+
+
+@functools.lru_cache(maxsize=None)
+def _q_residues_kernel(mesh, shape, plan):
+    """Distributed exact Q SYRK contribution: per-device integer
+    residue SYRK of the local L^-1 B stack, then an int32 `psum` over
+    the mesh axis -- integer adds cannot round, so the cross-chip
+    reduction is exact (`restore_and_reduce.cxx` redesigned; this is
+    the int-plane reduction `sdpb_tpu.ops`' docstring promises)."""
+    from ..ops import mpmm
+
+    s = P(AXIS)
+    r = P()
+
+    def fn(lbm, e_col):
+        nb, schur, n, k = lbm.shape
+        q_res, _ = mpmm.syrk_residues_mp(
+            lbm.reshape(nb * schur, n, k), plan, e_col=e_col)
+        return jax.lax.psum(q_res, AXIS)
+
+    return _sharded(mesh, fn, in_specs=(s, r), out_specs=r)
 
 
 def schur_factorize(problem: MeshProblem, res):
-    L_S, LinvB, q_parts = [], [], []
+    from ..ops import mpmm
+
+    k = problem.b.shape[-1]
+    total_rows = sum(mb.data.nb * mb.shape.schur_size
+                     for mb in problem.buckets)
+    plan = mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
+    L_S, LinvB = [], []
+    lbms, e_cols, fins = [], [], []
     for i, mb in enumerate(problem.buckets):
-        ls, lb, q_part = _schur_kernel(problem.mesh, mb.shape)(
-            mb.data, mb.mask, res.ax[i], res.ay[i])
+        ls, lb, lbm, e_col, fin = _schur_chol_kernel(
+            problem.mesh, mb.shape)(mb.data, mb.mask, res.ax[i], res.ay[i])
         L_S.append(ls)
         LinvB.append(lb)
-        q_parts.append(q_part)
-    L_Q = bi._q_cholesky(tuple(q_parts))
+        lbms.append(lbm)
+        e_cols.append(e_col)
+        fins.append(fin)
+    e_col = e_cols[0]
+    fin = fins[0]
+    for e, f in zip(e_cols[1:], fins[1:]):
+        e_col = jnp.maximum(e_col, e)
+        fin = jnp.minimum(fin, f)
+    q_sum = None
+    for i, mb in enumerate(problem.buckets):
+        q_res = _q_residues_kernel(problem.mesh, mb.shape, plan)(
+            lbms[i], e_col)
+        q_sum = q_res if q_sum is None else q_sum + q_res
+    L_Q = bi._q_restore_cholesky(q_sum, e_col, fin > 0, plan, k, problem.b)
     return L_S, LinvB, L_Q
 
 

@@ -159,35 +159,85 @@ def compute_residues(problem: BucketedProblem,
 # ---------------------------------------------------------------------------
 # Phase 2a: Schur factorization
 # ---------------------------------------------------------------------------
+#
+# Q = sum_blocks (L^-1 B)^T (L^-1 B) runs through the exact integer
+# pipeline (`ops.mpmm`, the TPU redesign of `bigint_syrk`): all buckets
+# share one set of power-of-2 column scales, each bucket contributes
+# per-prime int32 Q residues, the residues are SUMMED (integer adds
+# cannot round -> the reduction is exact, `restore_and_reduce.cxx`
+# equivalent), and a single CRT restore + Cholesky closes it out.
 
 @jax.jit
-def _schur_bucket(bk, ax, ay):
-    """S-Cholesky, L^-1 B, and this bucket's Q contribution."""
+def _schur_chol_bucket(bk, ax, ay):
+    """S-Cholesky and L^-1 B for one bucket."""
     S = _vblock(bk, lambda bl, a, b: it._schur_complement_block(
         bl, list(a), list(b)), tuple(ax), tuple(ay))
     ls = la.cholesky(S)
     lb = la.solve_lower(ls, bk.B)
-    q_part = mp.sum_(jax.vmap(
-        lambda m_: la.matmul(m_, m_, transpose_a=True))(lb), axis=0)
-    return ls, lb, q_part
+    return ls, lb
 
 
 @jax.jit
-def _q_cholesky(q_parts):
-    Q = q_parts[0]
-    for q in q_parts[1:]:
-        Q = mp.add(Q, q)
+def _col_exponents(lb):
+    """(N,) int32 column exponents of a bucket's stacked L^-1 B, plus
+    an all-finite flag (NaN from a non-PD S-Cholesky must poison Q)."""
+    from ..ops import mpmm
+
+    e = mpmm.exponents(lb)                      # (nb, schur, N)
+    finite = jnp.isfinite(jnp.max(jnp.abs(lb[..., 0])))
+    return jnp.max(e, axis=(0, 1)), finite
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _q_residues_bucket(lb, e_col, plan):
+    from ..ops import mpmm
+
+    nb, schur, n, k = lb.shape
+    q_res, _ = mpmm.syrk_residues_mp(
+        lb.reshape(nb * schur, n, k), plan, e_col=e_col)
+    return q_res
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "k"))
+def _q_restore_cholesky(q_sum, e_col, finite, plan, k: int, dtype_ref):
+    from ..ops import mpmm
+
+    q_sum = mpmm.reduce_residues_mod(q_sum, plan)
+    Q = mpmm.restore_q_mp(q_sum, e_col, plan, k, dtype_ref.dtype)
+    Q = jnp.where(finite, Q, jnp.asarray(jnp.nan, Q.dtype))
     return la.cholesky(Q)
 
 
+def q_plan(problem: BucketedProblem):
+    from ..ops import mpmm
+
+    k = problem.b.shape[-1]
+    total_rows = sum(bk.nb * bk.shape.schur_size for bk in problem.buckets)
+    return mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
+
+
 def schur_factorize(problem: BucketedProblem, res: Residues):
-    L_S, LinvB, q_parts = [], [], []
+    plan = q_plan(problem)
+    k = problem.b.shape[-1]
+    L_S, LinvB = [], []
+    e_cols, finites = [], []
     for bi, bk in enumerate(problem.buckets):
-        ls, lb, q_part = _schur_bucket(bk, res.ax[bi], res.ay[bi])
+        ls, lb = _schur_chol_bucket(bk, res.ax[bi], res.ay[bi])
         L_S.append(ls)
         LinvB.append(lb)
-        q_parts.append(q_part)
-    L_Q = _q_cholesky(tuple(q_parts))
+        e, f = _col_exponents(lb)
+        e_cols.append(e)
+        finites.append(f)
+    e_col = e_cols[0]
+    finite = finites[0]
+    for e, f in zip(e_cols[1:], finites[1:]):
+        e_col = jnp.maximum(e_col, e)
+        finite = finite & f
+    q_sum = None
+    for bi in range(len(problem.buckets)):
+        q_res = _q_residues_bucket(LinvB[bi], e_col, plan)
+        q_sum = q_res if q_sum is None else q_sum + q_res
+    L_Q = _q_restore_cholesky(q_sum, e_col, finite, plan, k, problem.b)
     return L_S, LinvB, L_Q
 
 

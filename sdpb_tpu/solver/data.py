@@ -169,14 +169,16 @@ def raw_to_dtype(raw, k: int, dtype):
     return out
 
 
-def problem_from_raw(raw, dtype=jnp.float64) -> SDPProblem:
+def problem_from_raw(raw, dtype=jnp.float64, k: int | None = None
+                     ) -> SDPProblem:
     """Build an SDPProblem from io.sdp_json.RawSDP.
 
-    ``dtype`` must match the word dtype of the raw arrays (use
-    ``raw_to_dtype`` first for f32 words -- a plain cast here would
-    corrupt the words)."""
+    When ``dtype`` differs from the raw word dtype (the f32-word TPU
+    path reads decimal data as f64 words first), the words are
+    converted exactly via ``raw_to_dtype`` to ``k`` words of ``dtype``
+    (default: the raw word count) -- a plain cast would corrupt them."""
     if jnp.dtype(dtype) != jnp.dtype(np.asarray(raw.b).dtype):
-        k = np.asarray(raw.b).shape[-1]
+        k = k if k is not None else np.asarray(raw.b).shape[-1]
         raw = raw_to_dtype(raw, k, dtype)
     blocks = []
     for rb in raw.blocks:
