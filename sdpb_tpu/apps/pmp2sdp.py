@@ -25,9 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n", "--maxNumPoles", type=int, default=-1,
                    help="Keep up to this many rightmost poles in "
                         "reducedPrefactor (-1 = unlimited)")
-    p.add_argument("-f", "--outputFormat", default="json",
+    p.add_argument("-f", "--outputFormat", default="bin",
                    choices=["json", "bin"],
-                   help="Block data file format (bin not yet supported)")
+                   help="Block data file format (default bin, as in the "
+                        "reference `write_sdp.cxx:81`)")
     p.add_argument("-z", "--zip", action="store_true",
                    help="Store output to a zip file instead of a directory")
     p.add_argument("-v", "--verbosity", type=int, default=1)
@@ -36,10 +37,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.outputFormat == "bin":
-        print("pmp2sdp: outputFormat=bin is not supported yet; use json",
-              file=sys.stderr)
-        return 2
 
     from ..pmp.compile import compile_pmp, write_sdp
     from ..pmp.core import make_ctx
@@ -57,7 +54,7 @@ def main(argv=None) -> int:
     command = "pmp2sdp " + " ".join(argv if argv is not None
                                     else sys.argv[1:])
     write_sdp(args.output, sdp, pmp, ctx, command=command,
-              as_zip=args.zip)
+              as_zip=args.zip, block_format=args.outputFormat)
     if args.verbosity >= 1:
         print(f"pmp2sdp: wrote {sdp.num_blocks} blocks to {args.output} "
               f"({time.time() - t0:.2f}s total)")

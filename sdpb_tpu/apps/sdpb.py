@@ -56,12 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbosity", type=int, default=1,
                    help="0=none, 1=regular, 2=debug, 3=trace")
     p.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
-                   help="Execution backend for the f64-word solver. "
-                        "Default cpu: correctly-rounded IEEE f64 is "
-                        "required for the multi-word arithmetic, and "
-                        "TPU emulates f64 as an unrounded f32 pair. "
-                        "The TPU path uses f32 words / the integer MXU "
-                        "pipeline (sdpb_tpu.ops) instead.")
+                   help="cpu: f64-word expansions (correctly-rounded "
+                        "IEEE doubles). tpu: f32-word expansions on the "
+                        "VPU + the exact int8-MXU CRT pipeline for the "
+                        "O(n^3) products; precision is capped at 120 "
+                        "bits by the f32 exponent range (use the "
+                        "dedicated high-precision CRT path via -p on "
+                        "cpu for >120-bit contracts).")
     # obsolete in the reference too (`SDPB_Parameters.cxx:22-73`);
     # accepted and ignored for compatibility
     p.add_argument("--procsPerNode", type=int, default=None,
@@ -79,18 +80,32 @@ def main(argv=None) -> int:
     # via the integer ops path, not the driver loop word arithmetic).
     import jax
 
+    word_dtype = "float64"
     if args.device == "cpu":
         # NB: must happen before any backend is touched; the solver's
         # f64-word arithmetic needs IEEE round-to-nearest f64, which
         # TPUs do not provide (f32-pair emulation without rounding).
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     else:
+        # TPU: f32 words (the VPU's correctly-rounded type).  Running
+        # f64 words on the TPU emulation would silently corrupt the
+        # expansions, so the word dtype is forced, not optional.
+        word_dtype = "float32"
+        if args.precision > 120:
+            print(f"sdpb: --device tpu caps --precision at 120 bits "
+                  f"(f32 exponent range); reducing {args.precision} -> 120",
+                  file=sys.stderr)
+            args.precision = 120
         try:
-            jax.default_backend()
+            backend = jax.default_backend()
         except RuntimeError:
-            # requested plugin failed to register; fall back to CPU
+            backend = "cpu"
+        if backend not in ("tpu", "axon"):
+            print("sdpb: no TPU backend registered; falling back to CPU "
+                  "(still f32 words - identical numerics)",
+                  file=sys.stderr)
             jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
     cache = os.environ.get("SDPB_TPU_COMPILE_CACHE",
                            os.path.expanduser("~/.cache/sdpb_tpu_xla"))
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -128,6 +143,7 @@ def main(argv=None) -> int:
         find_dual_feasible=args.findDualFeasible,
         detect_primal_feasible_jump=args.detectPrimalFeasibleJump,
         detect_dual_feasible_jump=args.detectDualFeasibleJump,
+        word_dtype=word_dtype,
     )
 
     sdp_dir = pathlib.Path(args.sdpDir)
@@ -137,8 +153,15 @@ def main(argv=None) -> int:
         sdp_dir.parent / "ck"
 
     t_start = time.time()
-    raw = read_sdp(sdp_dir, k=params.n_words)
-    problem = bucketize(problem_from_raw(raw))
+    # decimal data is always parsed into f64 words first (exact); the
+    # f32-word path then converts exactly via raw_to_dtype
+    k_read = params.n_words if word_dtype == "float64" else \
+        max(2, -(-args.precision // 53)) + 1
+    raw = read_sdp(sdp_dir, k=k_read)
+    import jax.numpy as jnp
+
+    problem = bucketize(problem_from_raw(
+        raw, dtype=jnp.dtype(word_dtype), k=params.n_words))
 
     # Multi-chip: shard the block axis over every visible device
     # (the reference's block data-parallelism over MPI ranks).

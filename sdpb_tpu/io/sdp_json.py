@@ -66,6 +66,12 @@ class _DirOrZip:
                 return json.load(f)
         return json.loads((self.path / name).read_text())
 
+    def read_bytes(self, name: str) -> bytes:
+        if self.zf is not None:
+            with self.zf.open(name) as f:
+                return f.read()
+        return (self.path / name).read_bytes()
+
     def exists(self, name: str) -> bool:
         if self.zf is not None:
             return name in self.zf.namelist()
@@ -90,12 +96,24 @@ def read_sdp(path, k: int = 4) -> RawSDP:
     blocks = []
     for i in range(num_blocks):
         info = src.read_json(f"block_info_{i}.json")
-        data = src.read_json(f"block_data_{i}.json")
         dim, pts = info["dim"], info["num_points"]
-        q_even = _arr(data["bilinear_bases_even"], k)
-        q_odd = _arr(data["bilinear_bases_odd"], k)
-        c = _arr(data["c"], k)
-        B = _arr(data["B"], k)
+        if src.exists(f"block_data_{i}.json"):
+            data = src.read_json(f"block_data_{i}.json")
+            q_even = _arr(data["bilinear_bases_even"], k)
+            q_odd = _arr(data["bilinear_bases_odd"], k)
+            c = _arr(data["c"], k)
+            B = _arr(data["B"], k)
+        else:
+            # binary block format (the reference's default,
+            # `write_block_data.cxx` / `read_block_data.cxx:17-20`)
+            from .sdp_bin import read_block_data_bin
+
+            data = read_block_data_bin(
+                src.read_bytes(f"block_data_{i}.bin"), k)
+            q_even = data["bilinear_bases_even"]
+            q_odd = data["bilinear_bases_odd"]
+            c = data["c"]
+            B = data["B"]
         schur = pts * dim * (dim + 1) // 2
         assert c.shape[0] == schur, (c.shape, schur)
         assert q_even.shape[:2] == ((pts - 1) // 2 + 1, pts)

@@ -197,11 +197,14 @@ def _formatter(ctx):
 
 
 def write_sdp(out_path, sdp: OutputSDP, pmp: PMP, ctx,
-              command: str = "", as_zip: bool = False) -> None:
-    """Write the on-disk SDP (JSON block format), directory or zip
-    (`write_sdp.cxx:246`; format doc `docs/SDPB_input_format.md`)."""
+              command: str = "", as_zip: bool = False,
+              block_format: str = "json") -> None:
+    """Write the on-disk SDP, directory or zip (`write_sdp.cxx:246`;
+    format doc `docs/SDPB_input_format.md`).  ``block_format``:
+    "json" (decimal strings) or "bin" (Boost-archive binary block_data,
+    the reference's default, `write_block_data.cxx`)."""
     fmt = _formatter(ctx)
-    files: dict[str, str] = {}
+    files: dict[str, object] = {}
 
     files["control.json"] = json.dumps(
         {"num_blocks": sdp.num_blocks, "command": command}, indent=2)
@@ -232,14 +235,22 @@ def write_sdp(out_path, sdp: OutputSDP, pmp: PMP, ctx,
     for g in sdp.groups:
         files[f"block_info_{g.block_index}.json"] = json.dumps(
             {"dim": g.dim, "num_points": g.num_points}, indent=2)
-        files[f"block_data_{g.block_index}.json"] = json.dumps({
-            "bilinear_bases_even": [[fmt(v) for v in row]
-                                    for row in g.bilinear_bases[0]],
-            "bilinear_bases_odd": [[fmt(v) for v in row]
-                                   for row in g.bilinear_bases[1]],
-            "c": [fmt(v) for v in g.c],
-            "B": [[fmt(v) for v in row] for row in g.B],
-        })
+        if block_format == "bin":
+            from ..io.sdp_bin import write_block_data_bin_mpf
+
+            files[f"block_data_{g.block_index}.bin"] = \
+                write_block_data_bin_mpf(
+                    g.B, g.c, g.bilinear_bases[0], g.bilinear_bases[1],
+                    ctx.prec, ctx)
+        else:
+            files[f"block_data_{g.block_index}.json"] = json.dumps({
+                "bilinear_bases_even": [[fmt(v) for v in row]
+                                        for row in g.bilinear_bases[0]],
+                "bilinear_bases_odd": [[fmt(v) for v in row]
+                                       for row in g.bilinear_bases[1]],
+                "c": [fmt(v) for v in g.c],
+                "B": [[fmt(v) for v in row] for row in g.B],
+            })
 
     out_path = Path(out_path)
     if as_zip or out_path.suffix == ".zip":
@@ -251,4 +262,7 @@ def write_sdp(out_path, sdp: OutputSDP, pmp: PMP, ctx,
     else:
         out_path.mkdir(parents=True, exist_ok=True)
         for name, content in files.items():
-            (out_path / name).write_text(content)
+            if isinstance(content, bytes):
+                (out_path / name).write_bytes(content)
+            else:
+                (out_path / name).write_text(content)
