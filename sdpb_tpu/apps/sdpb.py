@@ -229,6 +229,10 @@ def main(argv=None) -> int:
                             params)
             last_ck["t"] = time.time()
         if sigterm["flag"]:
+            # drain: write a final checkpoint, then unwind
+            # (`run.cxx:330-360`, `solve.cxx:101-107`)
+            save_checkpoint(ck_dir, _host_state(cur_state), host_problem,
+                            params)
             raise KeyboardInterrupt("SIGTERM")
 
     def _host_state(st):
@@ -278,6 +282,15 @@ def main(argv=None) -> int:
                            iteration_hook=hook, timers=timers)
         write_block_timings()
         write_profiling()
+    except Exception as e:
+        from ..solver import NonFiniteIterateError
+
+        if not isinstance(e, NonFiniteIterateError):
+            raise
+        it_writer.close()
+        signal.signal(signal.SIGTERM, old_handler)
+        print(f"sdpb: {e}", file=sys.stderr)
+        return 1
     except KeyboardInterrupt:
         it_writer.close()
         signal.signal(signal.SIGTERM, old_handler)

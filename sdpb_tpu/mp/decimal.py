@@ -103,9 +103,25 @@ def words_to_dtype(words: np.ndarray, k_out: int, dtype) -> np.ndarray:
 
     Splits each source word exactly into destination words, then
     renormalizes with a two_sum chain (inputs are magnitude-ordered by
-    construction, so no sort is needed)."""
+    construction, so no sort is needed).
+
+    Values beyond the destination dtype's finite range (e.g. the 1e100
+    maxComplementarity default under f32 words) are CLAMPED to the
+    largest finite value with matching sign - 'effectively infinite'
+    thresholds keep their compare semantics without introducing
+    inf-inf = NaN into the word arithmetic."""
     words = np.asarray(words)
     dtype = np.dtype(dtype)
+    if dtype != words.dtype:
+        fmax = float(np.finfo(dtype).max)
+        flat = np.asarray(words, dtype=np.float64).reshape(
+            -1, words.shape[-1]).copy()
+        over = np.abs(flat[:, 0]) >= fmax
+        if np.any(over):
+            sign = np.where(flat[over, 0] > 0, fmax, -fmax)
+            flat[over] = 0.0
+            flat[over, 0] = sign
+            words = flat.reshape(words.shape)
     src = []
     for i in range(words.shape[-1]):
         r = words[..., i].astype(np.float64)

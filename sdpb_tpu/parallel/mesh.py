@@ -519,18 +519,27 @@ def _lambda_kernel(mesh, shape):
     r = P()
 
     def fn(bk, mask, L_X, dX, L_Y, dY):
-        lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
-        lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
+        k = bk.c.shape[-1]
+        dtype = bk.c.dtype
+        inf = mp.const_word(jnp.asarray(jnp.inf, dtype), k, dtype=dtype)
+        lam_p, lam_d = inf, inf
+
+        def masked_min(lams):
+            lams = jnp.where((mask > 0)[:, None], lams,
+                             jnp.asarray(jnp.inf, dtype))
+            return bi._min_mp_over(lams)
+
         for p in bi._parities(bk.shape):
             cp = jax.vmap(la.lower_inverse_congruence)(L_X[p], dX[p])
-            lp = jax.vmap(it._min_eig_f64)(cp)
-            lam_p = jnp.minimum(lam_p, jnp.min(
-                jnp.where(mask > 0, lp, jnp.inf)))
+            lam_p = it.min_mp(lam_p, masked_min(
+                jax.vmap(it._min_eig_mp)(cp)))
             cd = jax.vmap(la.lower_inverse_congruence)(L_Y[p], dY[p])
-            ld = jax.vmap(it._min_eig_f64)(cd)
-            lam_d = jnp.minimum(lam_d, jnp.min(
-                jnp.where(mask > 0, ld, jnp.inf)))
-        return jax.lax.pmin(lam_p, AXIS), jax.lax.pmin(lam_d, AXIS)
+            lam_d = it.min_mp(lam_d, masked_min(
+                jax.vmap(it._min_eig_mp)(cd)))
+        # MP pmin over the mesh axis: all_gather + leading-word argmin
+        lam_p = bi._min_mp_over(jax.lax.all_gather(lam_p, AXIS))
+        lam_d = bi._min_mp_over(jax.lax.all_gather(lam_d, AXIS))
+        return lam_p, lam_d
 
     return _sharded(
         mesh, fn,
@@ -575,7 +584,7 @@ def apply_step(problem: MeshProblem, state: BucketedState, res,
         new_Y.append(nY)
     new_state = BucketedState(x=new_x, y=bi._update_y(state.y, dy, alpha_d),
                               X=new_X, Y=new_Y)
-    return new_state, alpha_p, alpha_d
+    return new_state, mp.fst(alpha_p), mp.fst(alpha_d)
 
 
 def compute_step(problem: MeshProblem, state: BucketedState, res, params,

@@ -9,5 +9,6 @@ from .data import (
     initial_state,
     problem_from_raw,
 )
-from .driver import SolveResult, TerminateReason, solve
+from .driver import (NonFiniteIterateError, SolveResult, TerminateReason,
+                     solve)
 from .params import SolverParams

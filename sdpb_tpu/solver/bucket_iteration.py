@@ -446,47 +446,57 @@ def corrector_beta(problem: BucketedProblem, state: BucketedState, dX, dY,
 # Phase 2e: step lengths and update
 # ---------------------------------------------------------------------------
 
+def _min_mp_over(lams):
+    """MP min over the leading axis by leading-word argmin."""
+    idx = jnp.argmin(lams[..., 0], axis=0)
+    return jnp.take_along_axis(lams, idx[None, ..., None], axis=0)[0]
+
+
 @jax.jit
 def _lambda_bucket(bk, L_X, dX, L_Y, dY):
-    lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
-    lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(bk.c.dtype))
+    k = bk.c.shape[-1]
+    dtype = bk.c.dtype
+    inf = mp.const_word(jnp.asarray(jnp.inf, dtype), k, dtype=dtype)
+    lam_p, lam_d = inf, inf
     for p in _parities(bk.shape):
         cp = jax.vmap(la.lower_inverse_congruence)(L_X[p], dX[p])
-        lam_p = jnp.minimum(lam_p, jnp.min(jax.vmap(it._min_eig_f64)(cp)))
+        lam_p = it.min_mp(lam_p, _min_mp_over(
+            jax.vmap(it._min_eig_mp)(cp)))
         cd = jax.vmap(la.lower_inverse_congruence)(L_Y[p], dY[p])
-        lam_d = jnp.minimum(lam_d, jnp.min(jax.vmap(it._min_eig_f64)(cd)))
+        lam_d = it.min_mp(lam_d, _min_mp_over(
+            jax.vmap(it._min_eig_mp)(cd)))
     return lam_p, lam_d
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
 def _alphas(lam_ps, lam_ds, feasible, gamma: float):
-    lam_p = jnp.min(jnp.stack(lam_ps))
-    lam_d = jnp.min(jnp.stack(lam_ds))
-
-    def to_alpha(lam):
-        return jnp.where(lam > -gamma, 1.0, -gamma / lam)
-
-    alpha_p = to_alpha(lam_p)
-    alpha_d = to_alpha(lam_d)
-    both = jnp.minimum(alpha_p, alpha_d)
-    alpha_p = jnp.where(feasible, both, alpha_p)
-    alpha_d = jnp.where(feasible, both, alpha_d)
+    """Full-MP step lengths (`step_length.cxx:27-46`)."""
+    lam_p = _min_mp_over(jnp.stack(lam_ps))
+    lam_d = _min_mp_over(jnp.stack(lam_ds))
+    k = lam_p.shape[-1]
+    dtype = lam_p.dtype
+    alpha_p = it.alpha_mp(lam_p, gamma, k, dtype)
+    alpha_d = it.alpha_mp(lam_d, gamma, k, dtype)
+    both = it.min_mp(alpha_p, alpha_d)
+    alpha_p = mp.where(feasible, both, alpha_p)
+    alpha_d = mp.where(feasible, both, alpha_d)
     return alpha_p, alpha_d
 
 
 @jax.jit
 def _update_bucket(x, X, Y, dx, dX, dY, alpha_p, alpha_d):
-    new_x = mp.add(x, mp.mul_f64(dx, alpha_p))
-    new_X = tuple(mp.add(X[p], mp.mul_f64(dX[p], alpha_p)) if X[p].size
+    scale = it._scale_mp
+    new_x = mp.add(x, scale(dx, alpha_p))
+    new_X = tuple(mp.add(X[p], scale(dX[p], alpha_p)) if X[p].size
                   else X[p] for p in range(2))
-    new_Y = tuple(mp.add(Y[p], mp.mul_f64(dY[p], alpha_d)) if Y[p].size
+    new_Y = tuple(mp.add(Y[p], scale(dY[p], alpha_d)) if Y[p].size
                   else Y[p] for p in range(2))
     return new_x, new_X, new_Y
 
 
 @jax.jit
 def _update_y(y, dy, alpha_d):
-    return mp.add(y, mp.mul_f64(dy, alpha_d))
+    return mp.add(y, it._scale_mp(dy, alpha_d))
 
 
 def apply_step(problem: BucketedProblem, state: BucketedState, res: Residues,
@@ -509,7 +519,7 @@ def apply_step(problem: BucketedProblem, state: BucketedState, res: Residues,
         new_Y.append(nY)
     new_state = BucketedState(x=new_x, y=_update_y(state.y, dy, alpha_d),
                               X=new_X, Y=new_Y)
-    return new_state, alpha_p, alpha_d
+    return new_state, mp.fst(alpha_p), mp.fst(alpha_d)
 
 
 class StepInfo(NamedTuple):

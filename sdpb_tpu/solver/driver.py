@@ -25,6 +25,13 @@ from .data import (BucketedProblem, SDPProblem, SolverState,
 from .params import SolverParams
 
 
+class NonFiniteIterateError(RuntimeError):
+    """The iterate went NaN/Inf - a Cholesky of a not-positive-definite
+    matrix (precision exhausted) or an overflow.  Mirrors the
+    reference's fatal El::NonHPDMatrixException
+    (`docs/Usage.md:270-273`: 'try increasing the precision')."""
+
+
 class TerminateReason(enum.Enum):
     PrimalDualOptimal = "found primal-dual optimal solution"
     PrimalFeasible = "found primal feasible solution"
@@ -128,6 +135,14 @@ def solve(problem: SDPProblem, params: SolverParams,
         primal_error = max(p_err_P, p_err_p)
         dual_error = _mpf_of(res.dual_error, prec)
         duality_gap = _mpf_of(res.duality_gap, prec)
+        if any(mpmath.isnan(v) or mpmath.isinf(v)
+               for v in (primal_error, dual_error, duality_gap)):
+            raise NonFiniteIterateError(
+                f"non-finite residues at iteration {it}: a Cholesky "
+                "input was not positive definite or a value overflowed "
+                "- try increasing --precision "
+                "(reference: El::NonHPDMatrixException, "
+                "docs/Usage.md:270-273)")
 
         # Termination (`compute_feasible_and_termination.cxx:4-72`)
         is_primal_feasible = primal_error < thr["primal_error"]
@@ -171,6 +186,11 @@ def solve(problem: SDPProblem, params: SolverParams,
 
         primal_step = float(np.asarray(info.primal_step))
         dual_step = float(np.asarray(info.dual_step))
+        if not (np.isfinite(primal_step) and np.isfinite(dual_step)):
+            raise NonFiniteIterateError(
+                f"non-finite step length at iteration {it}: the Schur "
+                "or Q Cholesky failed (not positive definite) - try "
+                "increasing --precision")
 
         rec = IterationRecord(
             iteration=it,

@@ -450,55 +450,99 @@ def corrector_beta(problem: SDPProblem, state: SolverState, dX, dY, mu,
 
 # --- Phase 2e: step lengths and update -------------------------------------
 
-def _min_eig_f64(c_mp):
-    """lambda_min of a symmetric MP matrix via word-dtype eigh.
+def _min_eig_mp(c_mp):
+    """lambda_min of a symmetric MP matrix as an MP scalar (K,):
+    word-dtype eigh for the eigenvector, then a multi-word
+    Rayleigh-quotient refinement.
 
     The reference computes full-precision HermitianEig
-    (`step_length/min_eigenvalue.cxx`); word-dtype accuracy (f64
-    ~1e-14, f32 ~1e-6 relative) is ample for the step length, which
-    carries a (1-gamma)=0.3 PD safety margin.  TODO: optional MP
-    Rayleigh refinement for bit-parity studies."""
-    return jnp.linalg.eigvalsh(mp.approx(c_mp))[0]
+    (`step_length/min_eigenvalue.cxx`).  The word-dtype eigensolve
+    alone is accurate to ~eps * ||C|| ABSOLUTE, which degrades when
+    ||C|| >> |lambda_min| (late iterations, ill-conditioned blocks);
+    the MP Rayleigh quotient v^T C v / v^T v of the computed
+    eigenvector recovers eigenvalue accuracy to second order in the
+    eigenvector error (and for clustered eigenvalues lands inside the
+    cluster, which is all the step length needs).  The result is an
+    upper bound on lambda_min; the (1-gamma) step margin absorbs the
+    remaining slack exactly as in the reference."""
+    k = c_mp.shape[-1]
+    w, v = jnp.linalg.eigh(mp.approx(c_mp))
+    v0 = v[:, 0]
+    vm = mp.const_word(v0, k, dtype=c_mp.dtype)
+    cv = la.matvec(c_mp, vm)
+    num = mp.dot(vm, cv, axis=0)
+    den = mp.dot(vm, vm, axis=0)
+    rq = mp.div(num, den)
+    # guard: if eigh failed to return finite vectors, keep its value
+    return jnp.where(jnp.isfinite(mp.approx(rq)),
+                     rq, mp.const_word(w[0], k, dtype=c_mp.dtype))
 
 
-def _min_lambda(L, dM, parities):
-    lam = jnp.asarray(jnp.inf, mp.approx_dtype(L[0].dtype))
+# kept name: per-block kernels elsewhere refer to it
+_min_eig_f64 = _min_eig_mp
+
+
+def min_mp(a, b):
+    """min of two MP scalars by leading-word compare (ties differ
+    below one ulp of word 0, irrelevant for step lengths)."""
+    return jnp.where(mp.fst(a) <= mp.fst(b), a, b)
+
+
+def _min_lambda(L, dM, parities, k, dtype):
+    lam = mp.const_word(jnp.asarray(jnp.inf, dtype), k, dtype=dtype)
     for p in parities:
         c = la.lower_inverse_congruence(L[p], dM[p])
-        lam = jnp.minimum(lam, _min_eig_f64(c))
+        lam = min_mp(lam, _min_eig_mp(c))
     return lam
+
+
+def alpha_mp(lam, gamma, k, dtype):
+    """step = min(1, -gamma/lambda_min), in full MP
+    (`step_length.cxx:27-46`; the reference's alpha is a BigFloat)."""
+    g = mp.const_word(jnp.asarray(gamma, dtype), k, dtype=dtype)
+    one = mp.const_word(jnp.asarray(1.0, dtype), k, dtype=dtype)
+    safe = mp.fst(lam) > -float(gamma)
+    lam_safe = jnp.where(safe, -one, lam)
+    a = mp.div(mp.neg(g), lam_safe)
+    return mp.where(safe, one, a)
+
+
+def _scale_mp(arr, alpha):
+    """arr * alpha for an MP scalar alpha (K,), broadcast over batch."""
+    a = jnp.broadcast_to(alpha, arr.shape)
+    return mp.mul(arr, a)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma",))
 def apply_step(problem: SDPProblem, state: SolverState, res: Residues,
                dx, dX, dy, dY, feasible, gamma: float):
     """Step lengths (`step_length.cxx`) and the iterate update
-    (`step.cxx:206-224`).  ``feasible`` (traced bool) equalizes the
-    primal/dual steps when primal-dual feasible."""
-    lam_p = jnp.asarray(jnp.inf, mp.approx_dtype(problem.b.dtype))
-    lam_d = jnp.asarray(jnp.inf, mp.approx_dtype(problem.b.dtype))
+    (`step.cxx:206-224`), all in full MP (the reference's alpha is a
+    BigFloat).  ``feasible`` (traced bool) equalizes the primal/dual
+    steps when primal-dual feasible."""
+    k = problem.b.shape[-1]
+    dtype = problem.b.dtype
+    lam_p = mp.const_word(jnp.asarray(jnp.inf, dtype), k, dtype=dtype)
+    lam_d = mp.const_word(jnp.asarray(jnp.inf, dtype), k, dtype=dtype)
     for i, bl in enumerate(problem.blocks):
         pars = _parities(bl)
-        lam_p = jnp.minimum(lam_p, _min_lambda(res.L_X[i], dX[i], pars))
-        lam_d = jnp.minimum(lam_d, _min_lambda(res.L_Y[i], dY[i], pars))
+        lam_p = min_mp(lam_p, _min_lambda(res.L_X[i], dX[i], pars, k, dtype))
+        lam_d = min_mp(lam_d, _min_lambda(res.L_Y[i], dY[i], pars, k, dtype))
 
-    def to_alpha(lam):
-        return jnp.where(lam > -gamma, 1.0, -gamma / lam)
+    alpha_p = alpha_mp(lam_p, gamma, k, dtype)
+    alpha_d = alpha_mp(lam_d, gamma, k, dtype)
+    both = min_mp(alpha_p, alpha_d)
+    alpha_p = mp.where(feasible, both, alpha_p)
+    alpha_d = mp.where(feasible, both, alpha_d)
 
-    alpha_p = to_alpha(lam_p)
-    alpha_d = to_alpha(lam_d)
-    both = jnp.minimum(alpha_p, alpha_d)
-    alpha_p = jnp.where(feasible, both, alpha_p)
-    alpha_d = jnp.where(feasible, both, alpha_d)
-
-    new_x = [mp.add(x, mp.mul_f64(d, alpha_p)) for x, d in zip(state.x, dx)]
-    new_y = mp.add(state.y, mp.mul_f64(dy, alpha_d))
-    new_X = [tuple(mp.add(state.X[i][p], mp.mul_f64(dX[i][p], alpha_p))
+    new_x = [mp.add(x, _scale_mp(d, alpha_p)) for x, d in zip(state.x, dx)]
+    new_y = mp.add(state.y, _scale_mp(dy, alpha_d))
+    new_X = [tuple(mp.add(state.X[i][p], _scale_mp(dX[i][p], alpha_p))
                    for p in range(2)) for i in range(len(problem.blocks))]
-    new_Y = [tuple(mp.add(state.Y[i][p], mp.mul_f64(dY[i][p], alpha_d))
+    new_Y = [tuple(mp.add(state.Y[i][p], _scale_mp(dY[i][p], alpha_d))
                    for p in range(2)) for i in range(len(problem.blocks))]
     new_state = SolverState(x=new_x, y=new_y, X=new_X, Y=new_Y)
-    return new_state, alpha_p, alpha_d
+    return new_state, mp.fst(alpha_p), mp.fst(alpha_d)
 
 
 # --- Orchestration (host side, one iteration's step) ------------------------
