@@ -288,18 +288,23 @@ def _bitonic_merge_desc(m: MPArray) -> MPArray:
     """Sort a |.|-bitonic sequence (descending-then-ascending along the
     last axis) into descending-|.| order with a static bitonic merge
     network: log2(n) stages of vectorized compare-exchange, no runtime
-    argsort.  n must be a power of two."""
+    argsort.  n must be a power of two.
+
+    Each stage accesses its compare partner via reshape + reverse of
+    the stride-``d`` pair axis -- NOT via a gather on ``idx ^ d``: the
+    gather+concatenate pattern crashes the TPU fusion emitter inside
+    larger fusions (XLA `Check failed: window.pad_low[i] == 0`,
+    observed on v5e)."""
     n = m.shape[-1]
     assert n & (n - 1) == 0, n
-    idx = np.arange(n)
+    lead = m.shape[:-1]
     d = n // 2
     while d >= 1:
-        pm = m[..., idx ^ d]
-        lo = jnp.asarray((idx & d) == 0)
-        v_lo = jnp.where(lo, m, pm)
-        v_hi = jnp.where(lo, pm, m)
-        # keep own value iff the pair is already ordered (ties keep both)
-        m = jnp.where(jnp.abs(v_lo) >= jnp.abs(v_hi), m, pm)
+        r = m.reshape(*lead, n // (2 * d), 2, d)
+        pm = r[..., ::-1, :]                    # partner across the pair axis
+        ordered = jnp.abs(r[..., 0:1, :]) >= jnp.abs(r[..., 1:2, :])
+        # lo keeps max iff ordered; hi keeps min iff ordered
+        m = jnp.where(ordered, r, pm).reshape(*lead, n)
         d //= 2
     return m
 
@@ -308,15 +313,21 @@ def merge_desc(a: MPArray, b: MPArray) -> MPArray:
     """Merge two descending-|.| word sequences into one fully
     descending-|.| sequence via a bitonic merge (static network, no
     argsort).  Zero-pads to a power of two; the zeros sort to the end
-    and are harmless to VecSum."""
+    and are harmless to VecSum.
+
+    The bitonic input [a desc | zeros | b asc] is assembled by
+    stacking width-1 word slices, NOT by concatenating the three
+    multi-word parts: a multi-operand concatenate at a nonzero offset
+    inside a large fusion crashes the TPU fusion emitter (XLA
+    `Check failed: window.pad_low[i] == 0 (11 vs. 0)`, observed on
+    v5e with the offset-11 operand of the K=5 merge)."""
     na, nb = a.shape[-1], b.shape[-1]
     n = 1 << (na + nb - 1).bit_length()
     pad = n - na - nb
-    parts = [a]
-    if pad:
-        parts.append(jnp.zeros(a.shape[:-1] + (pad,), a.dtype))
-    parts.append(b[..., ::-1])  # desc + zeros + asc = bitonic
-    return _bitonic_merge_desc(jnp.concatenate(parts, axis=-1))
+    z = jnp.zeros(a.shape[:-1], a.dtype)
+    parts = ([a[..., i] for i in range(na)] + [z] * pad +
+             [b[..., nb - 1 - i] for i in range(nb)])
+    return _bitonic_merge_desc(jnp.stack(parts, axis=-1))
 
 
 def renorm_words(words: Sequence, k: int, sort: bool = True,

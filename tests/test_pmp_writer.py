@@ -58,4 +58,7 @@ def test_deprecated_forwarders(tmp_path, capsys):
         "-i", str(REF / "input/pmp.json"),
         "-o", str(tmp_path / "sdp"), "-p", "256"])
     assert rc == 0
-    assert (tmp_path / "sdp" / "block_data_0.json").exists()
+    # pmp2sdp defaults to the reference's binary block format
+    # (write_sdp.cxx:81); the forwarders inherit that default.
+    assert ((tmp_path / "sdp" / "block_data_0.bin").exists()
+            or (tmp_path / "sdp" / "block_data_0.json").exists())
