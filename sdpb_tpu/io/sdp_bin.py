@@ -18,16 +18,39 @@ payload is Elemental's BigFloat::Serialize: sequentially memcpy'd
 _mpfr_prec (mpfr_prec_t), _mpfr_sign (mpfr_sign_t), _mpfr_exp
 (mpfr_exp_t) and ceil(prec/64) little-endian 64-bit limbs.
 
+Boost non-portable binary archive bookkeeping (modern layout, library
+version > 7 -- every Boost the reference builds against):
+
+- header: [size_t signature length]["serialization::archive"]
+  [library_version_type, 2 raw bytes (uint_least16_t)]
+- on a class's FIRST by-value occurrence: [tracking_type, 1 byte]
+  [version_type, 4 raw bytes (uint_least32_t)].  NO class id:
+  `basic_binary_oarchive::save_override(class_id_optional_type&)` is
+  an explicit no-op ("binary files don't include the optional
+  information"); class_id_type bytes appear only for pointer/exported
+  types, which this stream has none of.  Subsequent occurrences carry
+  no bookkeeping (track_never / not serialized through pointers).
+- std::vector<T>: [collection_size_type, 8 raw bytes (size_t)]
+  [item_version_type, 4 raw bytes (uint_least32_t)] + elements.
+- boost::serialization::make_array over El::byte uses the binary
+  save_array optimization: raw bytes, no count, no bookkeeping.
+
+All of these strong typedefs are BOOST_CLASS_IMPLEMENTATION(...,
+primitive_type), so the modern archive writes them with
+save_binary(&t, sizeof(T)) at their native widths (basic_archive.hpp;
+the 2-byte/1-byte compatibility encodings exist only behind
+library_version <= 7 branches in basic_binary_iarchive.hpp, which no
+published SDPB build produces).
+
 Byte-level layout constants are collected in `Layout` below.  They
 correspond to Boost >= 1.66 non-portable binary archives on LP64
 little-endian Linux with Elemental's default 32-bit El::Int -- the
 configuration of every published SDPB build.  The reference ships no
 binary fixtures (`test/data` is JSON-only), so cross-implementation
 bytes cannot be golden-diffed in this container; the reader therefore
-VALIDATES every piece of archive bookkeeping it consumes (class ids,
-tracking flags, class versions, mpfr invariants) and fails with a
-precise offset diagnostic on any mismatch, and the item_version width
-(the one genuinely archive-version-dependent field) is auto-detected.
+VALIDATES every piece of archive bookkeeping it consumes (tracking
+flags, class versions, item versions, mpfr invariants) and fails with
+a precise offset diagnostic on any mismatch.
 """
 
 from __future__ import annotations
@@ -48,10 +71,15 @@ class Layout:
     sign_t: int = 4            # mpfr_sign_t (int)
     exp_t: int = 8             # mpfr_exp_t (long)
     limb: int = 8              # mp_limb_t
-    class_id: int = 2          # int_least16_t
-    version: int = 2           # uint_least16_t
-    item_version: int = 2      # (auto-detected on read)
-    archive_version: int = 19  # boost 1.74
+    lib_version: int = 2       # library_version_type (uint_least16_t)
+    version: int = 4           # version_type (uint_least32_t)
+    item_version: int = 4      # item_version_type (uint_least32_t)
+    # Lowest library version whose layout matches what we emit (the
+    # encoding is identical for every version > 7, so emitting the
+    # floor keeps files readable by SDPB builds linked against any
+    # Boost from ~1.66 on -- binary_iarchive rejects versions NEWER
+    # than the reading library's BOOST_ARCHIVE_VERSION).
+    archive_version: int = 17
 
 
 LAYOUT = Layout()
@@ -157,26 +185,26 @@ class BinReader:
             self._err(f"bad signature length {n}")
         if self.take(n) != _SIGNATURE:
             self._err("bad archive signature")
-        ver = self.u(self.lay.version)
-        if not 3 < ver < 40:
-            self._err(f"implausible archive version {ver}")
+        ver = self.u(self.lay.lib_version)
+        # the modern bookkeeping layout this reader implements holds
+        # for library versions > 7 (Boost >= ~1.45); anything older
+        # cannot have been produced by a published SDPB build
+        if not 7 < ver < 40:
+            self._err(f"unsupported boost archive library version {ver}")
         self.ver = ver
 
     def class_info(self, key: str, expect_version=None):
-        """Consume first-occurrence class bookkeeping (id, tracking,
-        version); no-op on later occurrences."""
+        """Consume first-occurrence class bookkeeping (tracking byte +
+        4-byte class version -- class ids are NOT written by binary
+        archives); no-op on later occurrences."""
         if key in self.class_versions:
             return
-        cid = self.u(self.lay.class_id, signed=True)
-        if cid != self.classes_seen:
-            self._err(f"class id {cid} for {key}, expected "
-                      f"{self.classes_seen}")
         tracking = self.u(1)
         if tracking not in (0, 1):
             self._err(f"bad tracking byte {tracking} for {key}")
         if tracking:
             self._err(f"{key} unexpectedly tracked (reference uses "
-                      "track_never)")
+                      "track_never / by-value serialization)")
         ver = self.u(self.lay.version)
         if ver > 10:
             self._err(f"implausible class version {ver} for {key}")
@@ -227,38 +255,23 @@ class BinReader:
         return out
 
     def vector(self, k: int) -> np.ndarray:
-        """std::vector<BigFloat> -> (n, K)."""
+        """std::vector<BigFloat> -> (n, K).  Layout: class bookkeeping
+        (first occurrence), collection_size_type count (size_t),
+        item_version_type (4 bytes), then the elements -- the first of
+        which consumes El::BigFloat's own class bookkeeping if no
+        BigFloat appeared earlier (e.g. after an empty matrix)."""
         self.class_info("std::vector")
         count = self.u(self.lay.size_t)
         if count > 10**9:
             self._err(f"implausible vector count {count}")
-        # item_version width is the one archive-version-dependent field;
-        # detect 2 vs 4 bytes by validating what follows (the first
-        # BigFloat is_zero byte must be 0/1, then prec must match).
-        iv_width = self._detect_item_version_width(count)
-        self.u(iv_width)
+        iv = self.u(self.lay.item_version)
+        if iv > 10:
+            self._err(f"implausible item_version {iv}")
         out = np.zeros((count, k))
         for i in range(count):
             M, E = self.bigfloat()
             out[i] = int_exp_to_words(M, E, k)
         return out
-
-    def _detect_item_version_width(self, count: int) -> int:
-        if count == 0:
-            return self.lay.item_version
-        for width in dict.fromkeys((self.lay.item_version, 2, 4, 8, 0)):
-            o = self.o + width
-            if o >= len(self.b):
-                continue
-            flag = self.b[o]
-            if flag == 1:           # first element is an is_zero BigFloat
-                return width
-            if flag == 0:
-                prec = int.from_bytes(self.b[o + 1:o + 1 + self.lay.prec_t],
-                                      "little")
-                if prec == self.prec:
-                    return width
-        self._err("cannot locate vector item_version / first element")
 
 
 def read_block_data_bin(buf: bytes, k: int, lay: Layout = LAYOUT):
@@ -297,13 +310,15 @@ class BinWriter:
     def header(self):
         self.u(len(_SIGNATURE), self.lay.size_t)
         self.parts.append(_SIGNATURE)
-        self.u(self.lay.archive_version, self.lay.version)
+        self.u(self.lay.archive_version, self.lay.lib_version)
         self.u(self.prec, self.lay.prec_t)
 
     def class_info(self, key: str, version: int):
+        """First-occurrence bookkeeping: tracking byte + 4-byte class
+        version.  NO class id -- binary archives' save_override for
+        class_id_optional_type is a no-op."""
         if key in self.class_versions:
             return
-        self.u(self.classes_seen, self.lay.class_id, signed=True)
         self.u(0, 1)                       # tracking: never
         self.u(version, self.lay.version)
         self.classes_seen += 1

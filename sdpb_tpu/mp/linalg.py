@@ -44,9 +44,8 @@ _INT_BACKEND_MIN_WORK = 16 * 1024
 def _int_backend_ok(a, b, syrk: bool) -> bool:
     if a.ndim != 3:
         return False
-    n = a.shape[-2]
-    work = a.shape[-3] * n * b.shape[-2]
-    return work * n >= _INT_BACKEND_MIN_WORK
+    work = a.shape[-3] * a.shape[-2] * b.shape[-2]
+    return work >= _INT_BACKEND_MIN_WORK
 
 
 def matmul(a: MPArray, b: MPArray, transpose_a: bool = False,

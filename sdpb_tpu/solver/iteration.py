@@ -484,8 +484,14 @@ _min_eig_f64 = _min_eig_mp
 
 def min_mp(a, b):
     """min of two MP scalars by leading-word compare (ties differ
-    below one ulp of word 0, irrelevant for step lengths)."""
-    return jnp.where(mp.fst(a) <= mp.fst(b), a, b)
+    below one ulp of word 0, irrelevant for step lengths).
+
+    NaN is sticky: a NaN step-length lambda (the non-PD-Cholesky
+    poisoning convention) must survive the min regardless of operand
+    order, or a later finite block would silently overwrite it and the
+    solver would take a wrong finite step before detection."""
+    fa = mp.fst(a)
+    return jnp.where((fa <= mp.fst(b)) | jnp.isnan(fa), a, b)
 
 
 def _min_lambda(L, dM, parities, k, dtype):

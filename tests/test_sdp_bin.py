@@ -86,19 +86,50 @@ def test_block_data_bin_roundtrip_words():
 
 
 def test_archive_layout_invariants():
-    """Header bytes follow the Boost binary archive encoding the
-    reference produces: size_t-prefixed signature, 2-byte versions,
-    class metadata (id int16, tracking byte 0, class version) on first
-    occurrence only."""
+    """Byte stream follows the Boost binary archive encoding the
+    reference produces: size_t-prefixed signature, 2-byte library
+    version, and on a class's first occurrence a tracking byte plus a
+    4-byte version_type -- NO class id (binary archives' save_override
+    for class_id_optional_type is an explicit no-op)."""
     B = np.zeros((1, 1, 2))
     B[0, 0, 0] = 1.5
     buf = sdp_bin.write_block_data_bin(B, B[:, 0], B, B, 64)
     assert buf[:8] == (22).to_bytes(8, "little")
     assert buf[8:30] == b"serialization::archive"
-    # archive version, then mpfr_prec_t = 64
+    # 2-byte library version, low enough for any modern Boost reader
+    lib_ver = int.from_bytes(buf[30:32], "little")
+    assert 7 < lib_ver <= 17
+    # mpfr_prec_t = 64 (raw long)
     assert int.from_bytes(buf[32:40], "little") == 64
-    # first class (El::Matrix): id 0, untracked, version 0
-    assert buf[40:45] == bytes([0, 0, 0, 0, 0])
+    # first class (El::Matrix): tracking byte 0 + version_type 0
+    o = 40
+    assert buf[o:o + 5] == bytes([0, 0, 0, 0, 0])
+    o += 5
+    # Height, Width, LDim as raw El::Int (32-bit)
+    assert buf[o:o + 12] == (1).to_bytes(4, "little") * 3
+    o += 12
+    # first El::BigFloat: tracking byte 0 + version_type 1, then the
+    # is_zero flag (0 for the 1.5 payload)
+    assert buf[o:o + 5] == bytes([0, 1, 0, 0, 0])
+    assert buf[o + 5] == 0
+
+
+def test_vector_after_empty_matrix():
+    """If every matrix before the c-vector is empty (h*w == 0), the
+    first BigFloat bookkeeping lands INSIDE the vector, right after
+    its 4-byte item_version; the reader must still parse it."""
+    k = 3
+    B = np.zeros((0, 0, k))
+    c = np.zeros((2, k))
+    c[0, 0] = -0.75
+    c[1, 0] = 3.0
+    even = np.zeros((1, 1, k))
+    even[0, 0, 0] = 2.0
+    buf = sdp_bin.write_block_data_bin(B, c, even, even, 128)
+    out = sdp_bin.read_block_data_bin(buf, k)
+    assert out["B"].shape == (0, 0, k)
+    assert out["c"][0, 0] == -0.75 and out["c"][1, 0] == 3.0
+    assert out["bilinear_bases_even"][0, 0, 0] == 2.0
 
 
 @pytest.mark.parametrize("as_zip", [False, True])
