@@ -80,6 +80,13 @@ def run_once(reps):
     import jax
     import numpy as np
 
+    # The container's sitecustomize imports jax at interpreter startup,
+    # so JAX_PLATFORMS in a subprocess env is captured too early to
+    # matter; the CPU baseline must force the platform via jax.config
+    # (same pattern as tests/conftest.py).
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
     cache = os.environ.get("SDPB_TPU_COMPILE_CACHE",
                            os.path.join(os.path.dirname(
                                os.path.abspath(__file__)), ".jax_cache"))
@@ -137,7 +144,7 @@ def main():
             "import bench; dt,_ = bench.run_once(2); print('RES', dt)"
             % os.path.dirname(os.path.abspath(__file__))
         )
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
         out = subprocess.run([sys.executable, "-c", code], env=env,
                              capture_output=True, text=True, timeout=3000)
         for line in out.stdout.splitlines():

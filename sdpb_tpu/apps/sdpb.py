@@ -31,8 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxRuntime", type=float, default=2 ** 53)
     p.add_argument("--checkpointInterval", type=float, default=3600)
     p.add_argument("--maxSharedMemory", default="0",
-                   help="Accepted for compatibility; TPU HBM is managed "
-                        "by XLA so this is a no-op")
+                   help="Per-device memory cap (bytes, with optional "
+                        "K/M/G suffix). 0 = auto-detect device memory. "
+                        "The predicted per-device allocation is checked "
+                        "against this at startup (the reference's "
+                        "memory_estimates, run.cxx:80-183)")
     p.add_argument("--dualityGapThreshold", default="1e-30")
     p.add_argument("--primalErrorThreshold", default="1e-30")
     p.add_argument("--dualErrorThreshold", default="1e-30")
@@ -162,6 +165,19 @@ def main(argv=None) -> int:
 
     problem = bucketize(problem_from_raw(
         raw, dtype=jnp.dtype(word_dtype), k=params.n_words))
+
+    # Fail fast on memory before any device allocation mid-solve
+    # (`run.cxx:80-183`): predicted per-device bytes vs
+    # --maxSharedMemory (0 = auto-detected device memory).
+    from ..solver.memory import MemoryLimitError, check_memory_limit
+
+    try:
+        check_memory_limit(problem, args.maxSharedMemory,
+                           n_devices=max(1, len(jax.devices())),
+                           verbose=args.verbosity >= 2)
+    except MemoryLimitError as e:
+        print(f"sdpb: {e}", file=sys.stderr)
+        return 1
 
     # Multi-chip: shard the block axis over every visible device
     # (the reference's block data-parallelism over MPI ranks).

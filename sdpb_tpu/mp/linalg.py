@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import core
 from .core import MPArray
@@ -39,13 +40,27 @@ _MATMUL_CHUNK = 128
 # ~70-115x faster than the naive expansion product on both CPU-XLA and
 # TPU at realistic solver sizes; below it, conversion overheads win.
 _INT_BACKEND_MIN_WORK = 16 * 1024
+# Batched products amortize the digitization/CRT fixed cost over the
+# batch, so they route at a lower per-matrix threshold as long as the
+# batch total clears the 3-D bar.
+_INT_BACKEND_MIN_WORK_PER_BATCH = 2 * 1024
 
 
 def _int_backend_ok(a, b, syrk: bool) -> bool:
-    if a.ndim != 3:
+    if a.ndim < 3:
         return False
     work = a.shape[-3] * a.shape[-2] * b.shape[-2]
-    return work >= _INT_BACKEND_MIN_WORK
+    if a.ndim == 3:
+        return work >= _INT_BACKEND_MIN_WORK
+    # Batched products: the int8 batched matmuls ride the MXU, but on
+    # CPU-XLA int8 dot_general has no fast BLAS path (measured ~1x at
+    # best, 0.7x at nb=16 n=240); route batched products only where the
+    # MXU exists.
+    if jax.default_backend() not in ("tpu",):
+        return False
+    batch = int(np.prod(a.shape[:-3]))
+    return (work >= _INT_BACKEND_MIN_WORK_PER_BATCH
+            and batch * work >= _INT_BACKEND_MIN_WORK)
 
 
 def matmul(a: MPArray, b: MPArray, transpose_a: bool = False,
@@ -76,10 +91,10 @@ def _matmul_impl(a: MPArray, b: MPArray, transpose_a: bool,
         from ..ops import mpmm
 
         plan = mpmm.plan_for(mpmm.word_bits(a.dtype) * k, n)
-        at = jnp.swapaxes(a, -3, -2)          # (n, m, K)
+        at = jnp.swapaxes(a, -3, -2)          # (..., n, m, K)
         if syrk:
-            return mpmm.syrk_mp(at, plan)
-        return mpmm.gemm_mp(at, b, plan)
+            return mpmm.syrk_mp_batched(at, plan)
+        return mpmm.gemm_mp_batched(at, b, plan)
     partials = []
     for start in range(0, n, _MATMUL_CHUNK):
         stop = min(start + _MATMUL_CHUNK, n)

@@ -256,6 +256,27 @@ def gemm_mp(a_mp, b_mp, plan: CrtPlan, k_out: int | None = None):
     return _poison_nonfinite(scale_pow2(w, E), a_mp, b_mp)
 
 
+def syrk_mp_batched(x_mp, plan: CrtPlan, k_out: int | None = None):
+    """Exact X^T X with leading batch dims: (..., n, m, K) ->
+    (..., m, m, K_out).  vmap of `syrk_mp`: per-batch column scales,
+    per-batch NaN poisoning; the int8 matmuls batch over
+    (batch..., primes) so the MXU sees one large batched contraction
+    (the reference's per-(prime, tile) BLAS job batch,
+    `blas_jobs/create_blas_job_schedule.cxx`, as a single XLA op)."""
+    if x_mp.ndim == 3:
+        return syrk_mp(x_mp, plan, k_out)
+    return jax.vmap(lambda x: syrk_mp_batched(x, plan, k_out))(x_mp)
+
+
+def gemm_mp_batched(a_mp, b_mp, plan: CrtPlan, k_out: int | None = None):
+    """Exact A^T B with leading batch dims: (..., n, ma, K) x
+    (..., n, mb, K) -> (..., ma, mb, K_out); see `syrk_mp_batched`."""
+    if a_mp.ndim == 3:
+        return gemm_mp(a_mp, b_mp, plan, k_out)
+    return jax.vmap(lambda a, b: gemm_mp_batched(a, b, plan, k_out))(
+        a_mp, b_mp)
+
+
 def reduce_residues_mod(q_res_sum, plan: CrtPlan):
     """Re-reduce a SUM of per-prime residue matrices into [0, p).
     Summands are each in [0, p); up to ~2^18 of them fit int32."""
