@@ -185,15 +185,36 @@ def main(argv=None) -> int:
     host_problem = problem
     mesh_mod = None
     n_dev = len(jax.devices())
+    timing_costs = None
     if n_dev > 1:
         from jax.sharding import Mesh
 
         from ..parallel import mesh as mesh_mod
+        from ..solver import placement
 
         import numpy as _np
 
+        # Cost-based placement (`compute_block_grid_mapping.hxx`):
+        # measured block_timings if present, else a 2-iteration timing
+        # run (`sdpb/main.cxx:85-150`), else file sizes.
+        costs = placement.read_block_costs(
+            ck_dir, sdp_dir, host_problem.num_blocks)
+        if not (ck_dir / "block_timings").exists() \
+                and host_problem.num_blocks > n_dev:
+            if args.verbosity >= 1:
+                print("timing run: measuring 2 iterations for "
+                      "block_timings")
+            timing_costs = placement.measure_block_costs(
+                host_problem, params, n_iterations=2)
+            placement.write_block_timings(ck_dir, host_problem,
+                                          timing_costs)
+            costs = placement.read_block_costs(
+                ck_dir, sdp_dir, host_problem.num_blocks)
+        costs_by_bucket = [[costs[j] for j in bk.block_indices]
+                           for bk in host_problem.buckets]
         mesh = Mesh(_np.array(jax.devices()), (mesh_mod.AXIS,))
-        problem = mesh_mod.shard_problem(problem, mesh)
+        problem = mesh_mod.shard_problem(problem, mesh,
+                                         costs=costs_by_bucket)
         if args.verbosity >= 1:
             print(f"sharding blocks over {n_dev} devices")
     if args.verbosity >= 1:
@@ -272,11 +293,16 @@ def main(argv=None) -> int:
                       f"at {timers.max_mem_used_name}")
 
     def write_block_timings():
-        """ck/block_timings: per-block cost estimates for the placement
-        pass.  The reference measures per-block MPI wall time
-        (`write_timing.cxx`); here all blocks step inside one XLA
-        program, so costs come from the flop model that also drives the
-        mesh sharding (schur^3 + bilinear terms)."""
+        """ck/block_timings: per-block costs for the placement pass
+        (`write_timing.cxx`).  Measured costs (from the timing run)
+        when available; otherwise the flop model as a estimate for
+        single-device runs that never timed buckets separately."""
+        if timing_costs is not None:
+            from ..solver import placement
+
+            placement.write_block_timings(ck_dir, host_problem,
+                                          timing_costs)
+            return
         ck_dir.mkdir(parents=True, exist_ok=True)
         costs = []
         for bk in host_problem.buckets:

@@ -85,30 +85,50 @@ class MeshProblem:
     mesh: Mesh
     n_valid: list          # unpadded nb per bucket (static)
     total_psd_rows: int    # over REAL blocks only
+    perms: list = None     # per-bucket LPT permutation (or None each)
 
     @property
     def dual_dim(self):
         return self.b.shape[0]
 
 
-def shard_problem(problem: BucketedProblem, mesh: Mesh) -> MeshProblem:
+def shard_problem(problem: BucketedProblem, mesh: Mesh,
+                  costs=None) -> MeshProblem:
     """Pad each bucket to a multiple of the mesh size and device_put
     with the block axis sharded.  Phantom blocks reuse the bucket's
     bilinear bases (so their Schur complements stay PD) but have
-    c = B = 0 and mask 0."""
+    c = B = 0 and mask 0.
+
+    ``costs`` (per-bucket lists of per-block costs, e.g. from
+    `solver.placement.measure_block_costs` / `read_block_costs`)
+    triggers the reference's cost-based placement
+    (`compute_block_grid_mapping.hxx`): each bucket's block axis is
+    LPT-permuted so shard_map's contiguous per-device chunks carry
+    balanced total cost."""
+    from ..solver.placement import bucket_device_permutation
+
     n_dev = mesh.devices.size
     sharded = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
 
     buckets = []
     n_valid = []
-    for bk in problem.buckets:
+    perms = []
+    for bi_, bk in enumerate(problem.buckets):
         nb = bk.nb
         pad = (-nb) % n_dev
         mask = np.concatenate([np.ones(nb), np.zeros(pad)])
+        perm = None
+        if costs is not None and nb > n_dev:
+            perm, _ = bucket_device_permutation(costs[bi_], n_dev)
+            if np.array_equal(perm, np.arange(nb)):
+                perm = None
+        perms.append(perm)
 
         def pad_with(arr, template_zero: bool):
             arr = np.asarray(arr)
+            if perm is not None:
+                arr = arr[perm]
             if pad == 0:
                 return arr
             if template_zero:
@@ -141,20 +161,27 @@ def shard_problem(problem: BucketedProblem, mesh: Mesh) -> MeshProblem:
         mesh=mesh,
         n_valid=n_valid,
         total_psd_rows=problem.total_psd_rows,
+        perms=perms,
     )
 
 
+def _perm_of(mproblem: MeshProblem, bi_: int):
+    return None if mproblem.perms is None else mproblem.perms[bi_]
+
+
 def shard_state(state: BucketedState, mproblem: MeshProblem) -> BucketedState:
-    """Pad + shard a BucketedState to match a MeshProblem.  Phantom
-    blocks get identity-scaled X/Y copied from block 0 (PD, frozen by
-    the mask)."""
+    """Pad + shard a BucketedState to match a MeshProblem (applying the
+    problem's LPT block permutation).  Phantom blocks get
+    identity-scaled X/Y copied from block 0 (PD, frozen by the mask)."""
     mesh = mproblem.mesh
     n_dev = mesh.devices.size
     sharded = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
 
-    def pad_copy(arr, nb):
+    def pad_copy(arr, nb, perm):
         arr = np.asarray(arr)
+        if perm is not None:
+            arr = arr[perm]
         pad = (-nb) % n_dev
         if pad == 0:
             return arr
@@ -163,25 +190,35 @@ def shard_state(state: BucketedState, mproblem: MeshProblem) -> BucketedState:
     x, X, Y = [], [], []
     for bi_, mb in enumerate(mproblem.buckets):
         nb = mproblem.n_valid[bi_]
-        x.append(jax.device_put(pad_copy(state.x[bi_], nb), sharded))
-        X.append(tuple(jax.device_put(pad_copy(state.X[bi_][p], nb), sharded)
-                       for p in range(2)))
-        Y.append(tuple(jax.device_put(pad_copy(state.Y[bi_][p], nb), sharded)
-                       for p in range(2)))
+        perm = _perm_of(mproblem, bi_)
+        x.append(jax.device_put(pad_copy(state.x[bi_], nb, perm), sharded))
+        X.append(tuple(jax.device_put(
+            pad_copy(state.X[bi_][p], nb, perm), sharded) for p in range(2)))
+        Y.append(tuple(jax.device_put(
+            pad_copy(state.Y[bi_][p], nb, perm), sharded) for p in range(2)))
     return BucketedState(
         x=x, y=jax.device_put(jnp.asarray(state.y), repl), X=X, Y=Y)
 
 
 def unshard_state(mstate: BucketedState, mproblem: MeshProblem
                   ) -> BucketedState:
-    """Gather and strip padding (for checkpoints / solution output)."""
+    """Gather, strip padding and undo the LPT permutation (for
+    checkpoints / solution output, which are in block-index order)."""
     x, X, Y = [], [], []
     for bi_, nb in enumerate(mproblem.n_valid):
-        x.append(jnp.asarray(np.asarray(mstate.x[bi_])[:nb]))
-        X.append(tuple(jnp.asarray(np.asarray(mstate.X[bi_][p])[:nb])
-                       for p in range(2)))
-        Y.append(tuple(jnp.asarray(np.asarray(mstate.Y[bi_][p])[:nb])
-                       for p in range(2)))
+        perm = _perm_of(mproblem, bi_)
+        inv = None
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(nb)
+
+        def take(arr):
+            arr = np.asarray(arr)[:nb]
+            return jnp.asarray(arr if inv is None else arr[inv])
+
+        x.append(take(mstate.x[bi_]))
+        X.append(tuple(take(mstate.X[bi_][p]) for p in range(2)))
+        Y.append(tuple(take(mstate.Y[bi_][p]) for p in range(2)))
     return BucketedState(x=x, y=jnp.asarray(np.asarray(mstate.y)), X=X, Y=Y)
 
 
