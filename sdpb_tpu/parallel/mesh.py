@@ -361,6 +361,41 @@ def _q_residues_kernel(mesh, shape, plan):
     return _sharded(mesh, fn, in_specs=(s, r), out_specs=r)
 
 
+@functools.lru_cache(maxsize=None)
+def _q_residues_partial_kernel(mesh, shape, plan):
+    """As `_q_residues_kernel` but WITHOUT the psum: returns each
+    device's int32 partial on a leading sharded device axis, feeding
+    the distributed path's `psum_scatter` (the reference's
+    reduce-scatter, `restore_and_reduce.cxx:94-101`)."""
+    from ..ops import mpmm
+
+    s = P(AXIS)
+    r = P()
+
+    def fn(lbm, e_col):
+        nb, schur, n, k = lbm.shape
+        q_res, _ = mpmm.syrk_residues_mp(
+            lbm.reshape(nb * schur, n, k), plan, e_col=e_col)
+        return q_res[None]          # (1, P, N, N) -> sharded stack
+
+    return _sharded(mesh, fn, in_specs=(s, r), out_specs=s)
+
+
+#: dual dimensions >= this use the distributed (row-sharded) Q restore,
+#: Cholesky and dy solves instead of the replicated ones.  Tests lower
+#: it to force the distributed path on toy problems.
+DIST_Q_MIN_N = 2048
+
+
+@dataclasses.dataclass
+class DistLQ:
+    """Row-sharded lower Cholesky factor of the (padded) global Q."""
+
+    l_sharded: jax.Array    # (N1, N1, K), rows sharded over AXIS
+    mesh: Mesh
+    n: int                  # unpadded dual dimension
+
+
 def schur_factorize(problem: MeshProblem, res):
     from ..ops import mpmm
 
@@ -368,6 +403,7 @@ def schur_factorize(problem: MeshProblem, res):
     total_rows = sum(mb.data.nb * mb.shape.schur_size
                      for mb in problem.buckets)
     plan = mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
+    distributed = problem.dual_dim >= DIST_Q_MIN_N
     L_S, LinvB = [], []
     lbms, e_cols, fins = [], [], []
     for i, mb in enumerate(problem.buckets):
@@ -383,6 +419,20 @@ def schur_factorize(problem: MeshProblem, res):
     for e, f in zip(e_cols[1:], fins[1:]):
         e_col = jnp.maximum(e_col, e)
         fin = jnp.minimum(fin, f)
+    if distributed:
+        from . import dist_q
+
+        q_sum = None
+        for i, mb in enumerate(problem.buckets):
+            q_part = _q_residues_partial_kernel(
+                problem.mesh, mb.shape, plan)(lbms[i], e_col)
+            q_sum = q_part if q_sum is None else q_sum + q_part
+        kern = dist_q._restore_chol_kernel(
+            problem.mesh, plan, k, problem.dual_dim,
+            jnp.dtype(problem.b.dtype).name)
+        l_sh = kern(q_sum, e_col, fin > 0)
+        return L_S, LinvB, DistLQ(l_sharded=l_sh, mesh=problem.mesh,
+                                  n=problem.dual_dim)
     q_sum = None
     for i, mb in enumerate(problem.buckets):
         q_res = _q_residues_kernel(problem.mesh, mb.shape, plan)(
@@ -506,7 +556,16 @@ def search_direction(problem: MeshProblem, state: BucketedState, res,
         dx_list.append(dx)
         dy_parts.append(dy_part)
 
-    dy = bi._dy_solve(res.primal_res_p, tuple(dy_parts), L_Q)
+    if isinstance(L_Q, DistLQ):
+        from . import dist_q
+
+        dy_rhs = res.primal_res_p
+        for part in dy_parts:
+            dy_rhs = mp.sub(dy_rhs, part)
+        dy = dist_q.dist_cholesky_solve(L_Q.mesh, L_Q.l_sharded, dy_rhs,
+                                        L_Q.n)
+    else:
+        dy = bi._dy_solve(res.primal_res_p, tuple(dy_parts), L_Q)
 
     dX, dY = [], []
     for i, mb in enumerate(problem.buckets):
@@ -658,11 +717,15 @@ def compute_step(problem: MeshProblem, state: BucketedState, res, params,
         problem, state, res, dx, dX, dy, dY, feasible,
         params.step_length_reduction)
 
+    if isinstance(L_Q, DistLQ):
+        lq_view = L_Q.l_sharded[:L_Q.n, :L_Q.n]
+    else:
+        lq_view = L_Q
     info = bi.StepInfo(
         mu=mu, beta_corrector=beta_corrector, primal_step=alpha_p,
         dual_step=alpha_d, R_error=R_error,
         terminate_max_complementarity=terminate_max_c,
-        q_cond=float(la.cholesky_condition_estimate(L_Q)))
+        q_cond=float(la.cholesky_condition_estimate(lq_view)))
     return new_state, info
 
 
