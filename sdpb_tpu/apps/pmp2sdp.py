@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference `write_sdp.cxx:81`)")
     p.add_argument("-z", "--zip", action="store_true",
                    help="Store output to a zip file instead of a directory")
+    p.add_argument("-j", "--jobs", type=int, default=0,
+                   help="Worker processes for file-parallel parsing and "
+                        "sampling (0 = auto, 1 = serial; the reference "
+                        "bin-packs input files over MPI groups, "
+                        "read_polynomial_matrix_program.cxx:12-50)")
     p.add_argument("-v", "--verbosity", type=int, default=1)
     return p
 
@@ -45,7 +50,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     ctx = make_ctx(args.precision)
     max_num_poles = args.maxNumPoles if args.maxNumPoles >= 0 else None
-    pmp = read_pmp(args.input, ctx, max_num_poles=max_num_poles)
+    pmp = read_pmp(args.input, ctx, max_num_poles=max_num_poles,
+                   jobs=args.jobs)
     if args.verbosity >= 1:
         print(f"pmp2sdp: read {pmp.num_matrices} matrices "
               f"from {args.input} ({time.time() - t0:.2f}s)")

@@ -421,32 +421,142 @@ def _vals_equal(a, b) -> bool:
     return len(a) == len(b) and all(x == y for x, y in zip(a, b))
 
 
-def read_pmp(paths, ctx, max_num_poles=None) -> PMP:
+# ---------------------------------------------------------------------------
+# File-parallel reading (`read_polynomial_matrix_program.cxx:12-50`: the
+# reference bin-packs input files over MPI process groups by file size;
+# here a process pool with LPT submission order -- biggest files first,
+# dynamic work stealing -- replaces the static bin-pack)
+# ---------------------------------------------------------------------------
+
+def _to_wire(obj):
+    """Deep-convert parse results for pickling across processes: mpf
+    leaves become their raw ('mpf', (sign, man, exp, bc)) tuples
+    (clone-context mpf classes are not picklable), PolynomialVectorMatrix
+    keeps its precomputed sampling data (the expensive part)."""
+    if hasattr(obj, "_mpf_"):
+        return ("__mpf__", obj._mpf_)
+    if isinstance(obj, DampedRational):
+        return ("__dr__", _to_wire(obj.constant), _to_wire(obj.base),
+                _to_wire(obj.poles))
+    if isinstance(obj, PolynomialVectorMatrix):
+        d = {k: _to_wire(v) for k, v in obj.__dict__.items() if k != "ctx"}
+        return ("__pvm__", d)
+    if isinstance(obj, list):
+        return ["__list__"] + [_to_wire(v) for v in obj]
+    if isinstance(obj, tuple):
+        return ("__tuple__",) + tuple(_to_wire(v) for v in obj)
+    if isinstance(obj, dict):
+        return {"__dict__": {k: _to_wire(v) for k, v in obj.items()}}
+    return obj
+
+
+def _from_wire(obj, ctx):
+    if isinstance(obj, tuple):
+        if obj and obj[0] == "__mpf__":
+            return ctx.make_mpf(obj[1])
+        if obj and obj[0] == "__dr__":
+            return DampedRational(
+                constant=_from_wire(obj[1], ctx),
+                base=_from_wire(obj[2], ctx), poles=_from_wire(obj[3], ctx))
+        if obj and obj[0] == "__pvm__":
+            pvm = PolynomialVectorMatrix.__new__(PolynomialVectorMatrix)
+            pvm.__dict__.update(
+                {k: _from_wire(v, ctx) for k, v in obj[1].items()})
+            pvm.ctx = ctx
+            return pvm
+        if obj and obj[0] == "__tuple__":
+            return tuple(_from_wire(v, ctx) for v in obj[1:])
+        return obj
+    if isinstance(obj, list):
+        if obj and obj[0] == "__list__":
+            return [_from_wire(v, ctx) for v in obj[1:]]
+        return [_from_wire(v, ctx) for v in obj]
+    if isinstance(obj, dict) and "__dict__" in obj:
+        return {k: _from_wire(v, ctx) for k, v in obj["__dict__"].items()}
+    return obj
+
+
+def _parse_one_file(f, ctx, max_num_poles):
+    suffix = Path(f).suffix
+    if suffix == ".json":
+        return _read_json(f, ctx, max_num_poles)
+    if suffix == ".m":
+        return _read_mathematica(f, ctx, max_num_poles)
+    if suffix == ".xml":
+        return _read_xml(f, ctx, max_num_poles)
+    raise ValueError(f"Expected .json, .m, or .xml extension: {f}")
+
+
+def _parse_file_worker(args):
+    """Process-pool entry: parse + sample one PMP file, return wire
+    form.  Workers never touch jax (the pmp layer is mpmath-only), so
+    pool processes cannot contend for the TPU."""
+    path, precision, max_num_poles = args
+    from .core import make_ctx
+
+    ctx = make_ctx(precision)
+    obj, norm, mats = _parse_one_file(path, ctx, max_num_poles)
+    return _to_wire(obj), _to_wire(norm), _to_wire(mats)
+
+
+def _parse_files_parallel(files, ctx, max_num_poles, jobs: int):
+    """Parse files across a process pool, LPT-ordered (largest file
+    first) with dynamic work stealing; results returned in file order."""
+    import concurrent.futures as cf
+    import multiprocessing as mp_mod
+    import os
+
+    precision = ctx.prec
+    order = sorted(range(len(files)),
+                   key=lambda i: -os.path.getsize(files[i]))
+    results = [None] * len(files)
+    with cf.ProcessPoolExecutor(
+            max_workers=jobs,
+            mp_context=mp_mod.get_context("spawn")) as pool:
+        futs = {pool.submit(_parse_file_worker,
+                            (str(files[i]), precision, max_num_poles)): i
+                for i in order}
+        for fut in cf.as_completed(futs):
+            i = futs[fut]
+            obj, norm, mats = fut.result()
+            results[i] = (_from_wire(obj, ctx), _from_wire(norm, ctx),
+                          _from_wire(mats, ctx))
+    return results
+
+
+def read_pmp(paths, ctx, max_num_poles=None, jobs: int | None = 1) -> PMP:
     """Read and merge one or more PMP files (after NSV expansion).
 
     Mirrors `read_polynomial_matrix_program.cxx:12-90`: matrices are
     concatenated in file order (global block index = position); the
     objective/normalization must agree across files that define them.
+
+    ``jobs``: worker processes for file-parallel parsing+sampling
+    (1 = serial; None/0 = auto: one per file up to the CPU count).
     """
     files = expand_nsv(paths)
     if not files:
         raise ValueError("No input files")
 
+    if not jobs:
+        import os
+
+        # auto: one worker per core up to the file count; on boxes with
+        # <= 2 cores the ~seconds-per-child interpreter startup (the
+        # container imports jax at startup) eats the win, stay serial
+        ncpu = os.cpu_count() or 1
+        jobs = 1 if ncpu <= 2 else max(1, min(len(files), ncpu, 16))
+    if jobs > 1 and len(files) > 1:
+        parsed = _parse_files_parallel(files, ctx, max_num_poles,
+                                       min(jobs, len(files)))
+    else:
+        parsed = [_parse_one_file(f, ctx, max_num_poles) for f in files]
+
     objective = None
     normalization = None
     matrices = []
     source_paths = []
-    for f in files:
-        suffix = Path(f).suffix
-        if suffix == ".json":
-            obj, norm, mats = _read_json(f, ctx, max_num_poles)
-        elif suffix == ".m":
-            obj, norm, mats = _read_mathematica(f, ctx, max_num_poles)
-        elif suffix == ".xml":
-            obj, norm, mats = _read_xml(f, ctx, max_num_poles)
-        else:
-            raise ValueError(
-                f"Expected .json, .m, or .xml extension: {f}")
+    for f, (obj, norm, mats) in zip(files, parsed):
         if obj is not None:
             if objective is not None and not _vals_equal(objective, obj):
                 raise ValueError(f"Inconsistent objectives in {f}")
