@@ -147,6 +147,7 @@ def main(argv=None) -> int:
         detect_primal_feasible_jump=args.detectPrimalFeasibleJump,
         detect_dual_feasible_jump=args.detectDualFeasibleJump,
         word_dtype=word_dtype,
+        max_shared_memory=str(args.maxSharedMemory),
     )
 
     sdp_dir = pathlib.Path(args.sdpDir)
@@ -167,14 +168,16 @@ def main(argv=None) -> int:
         raw, dtype=jnp.dtype(word_dtype), k=params.n_words))
 
     # Fail fast on memory before any device allocation mid-solve
-    # (`run.cxx:80-183`): predicted per-device bytes vs
-    # --maxSharedMemory (0 = auto-detected device memory).
+    # (`run.cxx:80-183`): predicted per-device bytes vs the device
+    # memory; --maxSharedMemory caps the Q residue windows (tiling),
+    # exactly the reference's semantics.
     from ..solver.memory import MemoryLimitError, check_memory_limit
 
     try:
-        check_memory_limit(problem, args.maxSharedMemory,
+        check_memory_limit(problem,
                            n_devices=max(1, len(jax.devices())),
-                           verbose=args.verbosity >= 2)
+                           verbose=args.verbosity >= 2,
+                           q_bytes_cap=args.maxSharedMemory)
     except MemoryLimitError as e:
         print(f"sdpb: {e}", file=sys.stderr)
         return 1

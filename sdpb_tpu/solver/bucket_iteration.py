@@ -216,9 +216,28 @@ def q_plan(problem: BucketedProblem):
     return mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
 
 
-def schur_factorize(problem: BucketedProblem, res: Residues):
+def q_block_chunk(problem: BucketedProblem, max_bytes: int | None):
+    """Blocks per _q_residues_bucket call so the int8/int32 residue
+    pipeline buffers stay under ``max_bytes`` -- the TPU equivalent of
+    the reference's shared-memory window splitting
+    (`bigint_syrk_blas.cxx:195-222`, `--maxSharedMemory`).  Integer
+    accumulation across chunks is exact, so tiling never changes Q."""
+    if not max_bytes:
+        return None
+    plan = q_plan(problem)
+    n = problem.dual_dim
+    # per block-row: digits (schur, N, D) int32 + split residues
+    # 2 x (schur, N, P) int8
+    worst = max(bk.shape.schur_size for bk in problem.buckets)
+    per_block = worst * n * (plan.n_digits * 4 + 2 * plan.n_primes)
+    return max(1, int(max_bytes) // max(1, per_block))
+
+
+def schur_factorize(problem: BucketedProblem, res: Residues,
+                    max_q_bytes: int | None = None):
     plan = q_plan(problem)
     k = problem.b.shape[-1]
+    chunk = q_block_chunk(problem, max_q_bytes)
     L_S, LinvB = [], []
     e_cols, finites = [], []
     for bi, bk in enumerate(problem.buckets):
@@ -234,9 +253,15 @@ def schur_factorize(problem: BucketedProblem, res: Residues):
         e_col = jnp.maximum(e_col, e)
         finite = finite & f
     q_sum = None
-    for bi in range(len(problem.buckets)):
-        q_res = _q_residues_bucket(LinvB[bi], e_col, plan)
-        q_sum = q_res if q_sum is None else q_sum + q_res
+    for bi, bk in enumerate(problem.buckets):
+        if chunk is None or bk.nb <= chunk:
+            parts = [LinvB[bi]]
+        else:
+            parts = [LinvB[bi][j:j + chunk]
+                     for j in range(0, bk.nb, chunk)]
+        for part in parts:
+            q_res = _q_residues_bucket(part, e_col, plan)
+            q_sum = q_res if q_sum is None else q_sum + q_res
     L_Q = _q_restore_cholesky(q_sum, e_col, finite, plan, k, problem.b)
     return L_S, LinvB, L_Q
 
@@ -541,7 +566,8 @@ def compute_step(problem: BucketedProblem, state: BucketedState,
     k = problem.b.shape[-1]
     feasible = jnp.asarray(is_primal_and_dual_feasible)
 
-    L_S, LinvB, L_Q = schur_factorize(problem, res)
+    L_S, LinvB, L_Q = schur_factorize(
+        problem, res, max_q_bytes=params.max_shared_memory_bytes)
     minus_XY, mu, R_error, terminate_max_c = compute_xy_mu(
         problem, state, np.asarray(params.max_complementarity_mp(dtype)))
 

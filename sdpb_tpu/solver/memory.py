@@ -90,7 +90,8 @@ def _q_plan_dims(problem):
     return plan.n_primes, plan.n_digits, plan.out_planes, total_rows
 
 
-def estimate_solver_memory(problem, n_devices: int = 1) -> MemoryEstimate:
+def estimate_solver_memory(problem, n_devices: int = 1,
+                           q_bytes_cap: int | None = None) -> MemoryEstimate:
     """Predict the peak per-device HBM footprint of one bucketed
     interior-point iteration.
 
@@ -99,6 +100,11 @@ def estimate_solver_memory(problem, n_devices: int = 1) -> MemoryEstimate:
     counts are divided over ``n_devices`` rounding up (phantom-block
     padding), mirroring how `parallel.mesh.shard_problem` pads; Q and
     dy are replicated, as in the mesh path.
+
+    ``q_bytes_cap``: --maxSharedMemory cap on the Q residue pipeline's
+    per-call digit/residue buffers (the solver tiles the exact SYRK to
+    respect it, `bucket_iteration.q_block_chunk`); the estimate's
+    pipeline component is reduced accordingly.
     """
     k = int(problem.b.shape[-1])
     n = int(problem.b.shape[0])
@@ -138,9 +144,14 @@ def estimate_solver_memory(problem, n_devices: int = 1) -> MemoryEstimate:
     # CRT planes (N, N, out_planes) int32, Q + L_Q MP.
     n_primes, n_digits, out_planes, total_rows = _q_plan_dims(problem)
     rows_dev = -(-total_rows // n_devices)
+    per_row = n * (n_digits * 4 + 2 * n_primes)
+    window = rows_dev * per_row
+    if q_bytes_cap:
+        # tiled to --maxSharedMemory: at least one worst-case block row
+        worst = max(bk.shape.schur_size for bk in problem.buckets)
+        window = min(window, max(worst * per_row, int(q_bytes_cap)))
     comp["Q residue pipeline (int)"] = (
-        rows_dev * n * n_digits * 4
-        + 2 * rows_dev * n * n_primes
+        window
         + n_primes * n * n * 4
         + n * n * out_planes * 4)
     comp["Q + L_Q + dy"] = (2 * n * n + 2 * n) * mp_item
@@ -171,16 +182,27 @@ def detect_device_memory() -> int | None:
     return 16 * 2 ** 30
 
 
-def check_memory_limit(problem, limit, n_devices: int = 1,
-                       verbose: bool = False) -> MemoryEstimate:
-    """Fail fast if the predicted allocation exceeds ``limit`` bytes
-    (0/None = auto-detect device memory; no detection -> skip check).
-    Raises MemoryLimitError with the reference-style per-component
-    report (`run.cxx:80-183` behavior)."""
-    est = estimate_solver_memory(problem, n_devices=n_devices)
+def check_memory_limit(problem, limit=None, n_devices: int = 1,
+                       verbose: bool = False,
+                       q_bytes_cap=None) -> MemoryEstimate:
+    """Fail fast if the predicted allocation exceeds ``limit`` bytes.
+
+    ``limit`` 0/None = auto-detect device memory (the
+    SDPB_TPU_DEVICE_MEMORY env var overrides detection, for tests); no
+    detection -> skip the check.  ``q_bytes_cap`` is the
+    --maxSharedMemory window cap (shrinks the Q pipeline component via
+    tiling; it is NOT a total-memory limit -- same semantics as the
+    reference, `run.cxx:80-183` + `BigInt_Shared_Memory_Syrk_Context`
+    window splitting).  Raises MemoryLimitError with the
+    reference-style per-component report."""
+    import os
+
+    est = estimate_solver_memory(problem, n_devices=n_devices,
+                                 q_bytes_cap=parse_bytes(q_bytes_cap or 0))
     limit = parse_bytes(limit) if limit else 0
     if not limit:
-        limit = detect_device_memory() or 0
+        env = os.environ.get("SDPB_TPU_DEVICE_MEMORY")
+        limit = parse_bytes(env) if env else (detect_device_memory() or 0)
     if verbose:
         print(est.message(limit or None))
     if limit and est.total > limit:

@@ -43,6 +43,17 @@ class SolverParams:
     # IEEE doubles) or "float32" (TPU; the VPU's native correctly-rounded
     # type -- TPU f64 is an unrounded emulation, see mp/core.py).
     word_dtype: str = "float64"
+    # --maxSharedMemory: byte cap on the Q residue pipeline's int
+    # buffers; 0 = unlimited.  Splits the exact Q SYRK into row chunks
+    # (`bigint_syrk_blas.cxx:195-222` window splitting); accepts the
+    # reference's byte-suffix strings ("100.1K").
+    max_shared_memory: str = "0"
+
+    @property
+    def max_shared_memory_bytes(self) -> int:
+        from .memory import parse_bytes
+
+        return parse_bytes(self.max_shared_memory)
 
     @property
     def n_words(self) -> int:

@@ -71,21 +71,77 @@ def test_auto_detect_limit(problem_1d):
     assert est.total > 0
 
 
-def test_cli_undersized_limit_aborts(tmp_path):
-    """`sdpb --maxSharedMemory 10K` exits 1 with a diagnostic
-    (mirrors the reference aborting in `run.cxx` when the estimate
-    exceeds the window budget)."""
+def test_cli_undersized_device_memory_aborts(tmp_path):
+    """With device memory forced below the estimate, sdpb exits 1 with
+    the reference-style diagnostic instead of an XLA OOM mid-solve
+    (`run.cxx:80-183` aborting when the estimate exceeds the node
+    budget)."""
+    import os
     import subprocess
     import sys
 
+    env = dict(os.environ, SDPB_TPU_DEVICE_MEMORY="2K")
     out = subprocess.run(
         [sys.executable, "-m", "sdpb_tpu.apps.sdpb", "-s", str(SDP_1D),
          "-o", str(tmp_path / "out"), "-c", str(tmp_path / "ck"),
-         "--precision", "212", "--maxIterations", "1",
-         "--maxSharedMemory", "10K"],
-        capture_output=True, text=True, timeout=600)
+         "--precision", "212", "--maxIterations", "1"],
+        capture_output=True, text=True, timeout=600, env=env)
     assert out.returncode == 1
     assert "exceeds the limit" in out.stderr
+
+
+def _fake_problem(nbs, m, pts, n_dual, k=4):
+    """Shape-only BucketedProblem stand-in for the estimator."""
+    import numpy as np
+
+    from sdpb_tpu.solver.data import block_shape_of
+
+    class B:
+        def __init__(self, nb):
+            self.nb = nb
+            self.shape = block_shape_of(m, pts)
+            self.block_indices = tuple(range(nb))
+
+    class Prob:
+        buckets = [B(nb) for nb in nbs]
+        b = np.zeros((n_dual, k))
+        dual_dim = n_dual
+
+    return Prob()
+
+
+def test_max_shared_memory_caps_q_window():
+    """--maxSharedMemory shrinks the Q pipeline component (window
+    splitting), it is not a total limit."""
+    prob = _fake_problem([64], m=2, pts=32, n_dual=384)
+    full = estimate_solver_memory(prob)
+    capped = estimate_solver_memory(prob, q_bytes_cap=1 * 2 ** 20)
+    assert capped.components["Q residue pipeline (int)"] < \
+        full.components["Q residue pipeline (int)"]
+    # everything else unchanged
+    for key in full.components:
+        if "pipeline" not in key:
+            assert capped.components[key] == full.components[key]
+
+
+def test_q_tiling_is_exact(problem_1d):
+    """Tiled Q (maxSharedMemory) reproduces the untiled Q Cholesky
+    bit-for-bit: integer residue accumulation cannot round
+    (`bigint_syrk_blas.cxx:195-222` window splitting, exactness by
+    construction)."""
+    import numpy as np
+
+    from sdpb_tpu.solver import SolverParams, bucket_iteration as bi
+    from sdpb_tpu.solver.data import initial_bucketed_state
+
+    params = SolverParams(precision=212)
+    state = initial_bucketed_state(problem_1d, 2.0, 3.0)
+    res = bi.compute_residues(problem_1d, state)
+    _, _, lq_full = bi.schur_factorize(problem_1d, res)
+    _, _, lq_tiled = bi.schur_factorize(problem_1d, res, max_q_bytes=1)
+    assert bi.q_block_chunk(problem_1d, 1) == 1
+    np.testing.assert_array_equal(np.asarray(lq_full),
+                                  np.asarray(lq_tiled))
 
 
 def test_format_bytes():
