@@ -134,9 +134,14 @@ def _cholesky_rowpanel(a_loc, n_dev: int):
 
 def _solve_lower_rowpanel(l_loc, b, n_dev: int):
     """x = L^-1 b with row-sharded L (rows_loc, N1, K) and replicated
-    b (N1, K); returns replicated x.  One (rows_loc, K) psum per panel
-    (cf. `solve_schur_complement_equation.cxx` trsv-down)."""
+    b (N1, K) or (N1, M, K); returns replicated x.  One owner psum per
+    panel (cf. `solve_schur_complement_equation.cxx` trsv-down; matrix
+    RHS = the reference's intra-block distributed Trsm)."""
+    vec = b.ndim == 2
+    if vec:
+        b = b[:, None, :]
     rows_loc, n1, k = l_loc.shape
+    m = b.shape[1]
     idx = jax.lax.axis_index(AXIS)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n1,), 0)
 
@@ -145,23 +150,29 @@ def _solve_lower_rowpanel(l_loc, b, n_dev: int):
         own = pi == idx
         # s = b[j:j+r] - L[j:j+r, :j] @ x[:j]  (owner-local)
         lrow = jnp.where((cols < j)[None, :, None], l_loc, 0.0)
-        acc = la.matvec(lrow, x)
-        bp = jax.lax.dynamic_slice(b, (j, 0), (rows_loc, k))
+        acc = la.matmul(lrow, x)
+        bp = jax.lax.dynamic_slice(b, (j, 0, 0), (rows_loc, m, k))
         s = mp.sub(bp, acc)
         l11 = jax.lax.dynamic_slice(l_loc, (0, j, 0),
                                     (rows_loc, rows_loc, k))
         xp = la.solve_lower(l11, s)
         xp = jax.lax.psum(jnp.where(own, xp, 0.0), AXIS)
-        return jax.lax.dynamic_update_slice(x, xp, (j, 0))
+        return jax.lax.dynamic_update_slice(x, xp, (j, 0, 0))
 
-    return jax.lax.fori_loop(0, n_dev, panel_step, jnp.zeros_like(b))
+    out = jax.lax.fori_loop(0, n_dev, panel_step, jnp.zeros_like(b))
+    return out[:, 0, :] if vec else out
 
 
 def _solve_lower_t_rowpanel(l_loc, b, n_dev: int):
     """x = L^-T b, backward panel substitution; the off-diagonal
     contribution (L^T)[panel, below] x[below] = sum over devices of
-    their local panel-column blocks -- one psum per panel."""
+    their local panel-column blocks -- one exact gathered sum per
+    panel.  b replicated (N1, K) or (N1, M, K)."""
+    vec = b.ndim == 2
+    if vec:
+        b = b[:, None, :]
     rows_loc, n1, k = l_loc.shape
+    m = b.shape[1]
     idx = jax.lax.axis_index(AXIS)
     row0 = idx * rows_loc
 
@@ -174,21 +185,23 @@ def _solve_lower_t_rowpanel(l_loc, b, n_dev: int):
         pcol = jax.lax.dynamic_slice(l_loc, (0, j, 0),
                                      (rows_loc, rows_loc, k))
         zero = jnp.zeros((), row0.dtype)
-        x_loc = jax.lax.dynamic_slice(x, (row0, zero), (rows_loc, k))
-        contrib = la.matvec(pcol, x_loc, transpose=True)
+        x_loc = jax.lax.dynamic_slice(x, (row0, zero, zero),
+                                      (rows_loc, m, k))
+        contrib = la.matmul(pcol, x_loc, transpose_a=True)
         contrib = jnp.where(idx > pi, contrib, 0.0)
         # word-wise float psum of MP values rounds at word-0 scale;
         # gather + MP tree sum is exact-as-local (mesh._sum_mp contract)
         acc = mp.sum_(jax.lax.all_gather(contrib, AXIS), axis=0)
-        bp = jax.lax.dynamic_slice(b, (j, 0), (rows_loc, k))
+        bp = jax.lax.dynamic_slice(b, (j, 0, 0), (rows_loc, m, k))
         s = mp.sub(bp, acc)
         l11 = jax.lax.dynamic_slice(l_loc, (0, j, 0),
                                     (rows_loc, rows_loc, k))
         xp = la.solve_lower_t(l11, s)
         xp = jax.lax.psum(jnp.where(own, xp, 0.0), AXIS)
-        return jax.lax.dynamic_update_slice(x, xp, (j, 0))
+        return jax.lax.dynamic_update_slice(x, xp, (j, 0, 0))
 
-    return jax.lax.fori_loop(0, n_dev, panel_step, jnp.zeros_like(b))
+    out = jax.lax.fori_loop(0, n_dev, panel_step, jnp.zeros_like(b))
+    return out[:, 0, :] if vec else out
 
 
 # ---------------------------------------------------------------------------

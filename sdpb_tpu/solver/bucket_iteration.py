@@ -131,6 +131,16 @@ def _residues_combine(objective_const, b, y, cx_parts, bx_parts, derrs,
 
 def compute_residues(problem: BucketedProblem,
                      state: BucketedState) -> Residues:
+    if len(problem.buckets) <= FUSE_MAX_BUCKETS:
+        parts, combined = _residues_all(problem, state)
+        (primal_objective, dual_objective, duality_gap, dual_error,
+         primal_error_P, primal_error_p, primal_res_p) = combined
+        return Residues(primal_objective, dual_objective, duality_gap,
+                        dual_error, primal_error_P, primal_error_p,
+                        [p[0] for p in parts], [p[1] for p in parts],
+                        [p[2] for p in parts], [p[3] for p in parts],
+                        [p[4] for p in parts], [p[5] for p in parts],
+                        primal_res_p)
     L_X, L_Y, ax, ay, dual_res, primal_res = [], [], [], [], [], []
     cx_parts, bx_parts, derrs, perrs = [], [], [], []
     for bi, bk in enumerate(problem.buckets):
@@ -559,9 +569,227 @@ class StepInfo(NamedTuple):
     max_block_cond_name: str = ""
 
 
+# ---------------------------------------------------------------------------
+# Fused-phase path: one jitted program per phase ACROSS buckets.
+#
+# Per-bucket kernels cost one dispatch each; on a remote-attached TPU
+# (and to a lesser degree locally) dispatch RPCs dominate an iteration
+# with many small kernels (~35 calls/iteration in the per-bucket path).
+# For problems with few distinct shapes the phases are fused across
+# buckets -- ~7 dispatches per iteration -- and the condition-number
+# reductions run on-device instead of per-bucket host fetches.  Guarded
+# by bucket count: jaxpr size scales with the number of buckets, and a
+# whole-problem program at nmax6 scale (5 buckets, K=5) overruns LLVM
+# (see module docstring), so many-bucket problems keep per-bucket
+# kernels.
+# ---------------------------------------------------------------------------
+
+FUSE_MAX_BUCKETS = 3
+
+
+@jax.jit
+def _residues_all(problem, state):
+    parts = [
+        _residues_bucket.__wrapped__(bk, state.x[bi], tuple(state.X[bi]),
+                                     tuple(state.Y[bi]), state.y)
+        for bi, bk in enumerate(problem.buckets)]
+    combined = _residues_combine.__wrapped__(
+        problem.objective_const, problem.b, state.y,
+        tuple(p[8] for p in parts), tuple(p[9] for p in parts),
+        tuple(p[6] for p in parts), tuple(p[7] for p in parts))
+    return parts, combined
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "max_q_chunk"))
+def _schur_all(problem, res, plan, max_q_chunk):
+    k = problem.b.shape[-1]
+    L_S, LinvB, e_cols, fins = [], [], [], []
+    for bi, bk in enumerate(problem.buckets):
+        ls, lb = _schur_chol_bucket.__wrapped__(bk, res.ax[bi], res.ay[bi])
+        L_S.append(ls)
+        LinvB.append(lb)
+        e, f = _col_exponents.__wrapped__(lb)
+        e_cols.append(e)
+        fins.append(f)
+    e_col, finite = e_cols[0], fins[0]
+    for e, f in zip(e_cols[1:], fins[1:]):
+        e_col = jnp.maximum(e_col, e)
+        finite = finite & f
+    q_sum = None
+    for bi, bk in enumerate(problem.buckets):
+        if max_q_chunk is None or bk.nb <= max_q_chunk:
+            parts = [LinvB[bi]]
+        else:
+            parts = [LinvB[bi][j:j + max_q_chunk]
+                     for j in range(0, bk.nb, max_q_chunk)]
+        for part in parts:
+            q_res = _q_residues_bucket.__wrapped__(part, e_col, plan)
+            q_sum = q_res if q_sum is None else q_sum + q_res
+    L_Q = _q_restore_cholesky.__wrapped__(q_sum, e_col, finite, plan, k,
+                                          problem.b)
+    return L_S, LinvB, L_Q
+
+
+@jax.jit
+def _xy_all(problem, state, max_complementarity):
+    k = problem.b.shape[-1]
+    minus_XY, tr_parts = [], []
+    for bi, bk in enumerate(problem.buckets):
+        mb, tr = _xy_bucket.__wrapped__(bk, tuple(state.X[bi]),
+                                        tuple(state.Y[bi]))
+        minus_XY.append(mb)
+        tr_parts.append(tr)
+    mu, terminate = _mu_combine.__wrapped__(
+        tuple(tr_parts), problem.total_psd_rows, max_complementarity)
+    r_err = jnp.max(jnp.stack([
+        _r_error_bucket.__wrapped__(bk, tuple(minus_XY[bi]), mu)
+        for bi, bk in enumerate(problem.buckets)]))
+    dtype = problem.b.dtype
+    R_error = mp.const_word(r_err.astype(dtype), k, dtype=dtype)
+    return minus_XY, mu, R_error, terminate
+
+
+@jax.jit
+def _search_all(problem, state, res, minus_XY, L_S, LinvB, L_Q, beta_mu,
+                dXdY):
+    R_list, dx_list, dy_parts = [], [], []
+    for bi, bk in enumerate(problem.buckets):
+        R, dx, dy_part = _search_pre_bucket.__wrapped__(
+            bk, state.x[bi], tuple(state.X[bi]), tuple(state.Y[bi]),
+            res.L_X[bi], res.primal_res[bi], res.dual_res[bi],
+            tuple(minus_XY[bi]), L_S[bi], LinvB[bi], beta_mu,
+            tuple(dXdY[bi]))
+        R_list.append(R)
+        dx_list.append(dx)
+        dy_parts.append(dy_part)
+    dy = _dy_solve.__wrapped__(res.primal_res_p, tuple(dy_parts), L_Q)
+    dX, dY = [], []
+    for bi, bk in enumerate(problem.buckets):
+        dx, dXb, dYb = _search_post_bucket.__wrapped__(
+            bk, dx_list[bi], dy, L_S[bi], LinvB[bi], tuple(state.Y[bi]),
+            res.L_X[bi], res.primal_res[bi], R_list[bi])
+        dx_list[bi] = dx
+        dX.append(dXb)
+        dY.append(dYb)
+    return dx_list, dX, dy, dY
+
+
+@jax.jit
+def _beta_pairs_all(problem, state, dX, dY, mu, feasible,
+                    feasible_centering, infeasible_centering):
+    parts = [
+        _frob_bucket.__wrapped__(bk, tuple(state.X[bi]), tuple(dX[bi]),
+                                 tuple(state.Y[bi]), tuple(dY[bi]))
+        for bi, bk in enumerate(problem.buckets)]
+    beta = _beta_combine.__wrapped__(
+        tuple(parts), mu, problem.total_psd_rows, feasible,
+        feasible_centering, infeasible_centering)
+    dXdY = [_pair_products_bucket.__wrapped__(bk, tuple(dX[bi]),
+                                              tuple(dY[bi]))
+            for bi, bk in enumerate(problem.buckets)]
+    return beta, dXdY
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def _finish_all(problem, state, res, L_S, L_Q, dx, dX, dy, dY, feasible,
+                gamma):
+    lam_ps, lam_ds = [], []
+    for bi, bk in enumerate(problem.buckets):
+        lp, ld = _lambda_bucket.__wrapped__(
+            bk, res.L_X[bi], tuple(dX[bi]), res.L_Y[bi], tuple(dY[bi]))
+        lam_ps.append(lp)
+        lam_ds.append(ld)
+    alpha_p, alpha_d = _alphas.__wrapped__(
+        tuple(lam_ps), tuple(lam_ds), feasible, gamma)
+    new_x, new_X, new_Y = [], [], []
+    for bi in range(len(problem.buckets)):
+        nx, nX, nY = _update_bucket.__wrapped__(
+            state.x[bi], tuple(state.X[bi]), tuple(state.Y[bi]),
+            dx[bi], tuple(dX[bi]), tuple(dY[bi]), alpha_p, alpha_d)
+        new_x.append(nx)
+        new_X.append(nX)
+        new_Y.append(nY)
+    new_state = BucketedState(x=new_x, y=_update_y.__wrapped__(
+        state.y, dy, alpha_d), X=new_X, Y=new_Y)
+    # condition numbers, on-device (the per-bucket path fetches these
+    # one np.asarray at a time -- synchronous round-trips)
+    q_cond = la.cholesky_condition_estimate(L_Q)
+    conds = []
+    for bi, bk in enumerate(problem.buckets):
+        conds.append(jax.vmap(la.cholesky_condition_estimate)(L_S[bi]))
+        for p in _parities(bk.shape):
+            conds.append(jax.vmap(la.cholesky_condition_estimate)(
+                res.L_X[bi][p]))
+            conds.append(jax.vmap(la.cholesky_condition_estimate)(
+                res.L_Y[bi][p]))
+    flat = jnp.concatenate([c.reshape(-1) for c in conds])
+    which = jnp.argmax(flat)
+    return (new_state, mp.fst(alpha_p), mp.fst(alpha_d), q_cond,
+            jnp.max(flat), which)
+
+
+def _cond_names(problem: BucketedProblem):
+    names = []
+    for bi, bk in enumerate(problem.buckets):
+        names.extend(f"schur_complement_cholesky.block_{j}"
+                     for j in bk.block_indices)
+        for p in _parities(bk.shape):
+            names.extend(f"X_cholesky.block_{j}_{p}"
+                         for j in bk.block_indices)
+            names.extend(f"Y_cholesky.block_{j}_{p}"
+                         for j in bk.block_indices)
+    return names
+
+
+def _compute_step_fused(problem, state, res, params,
+                        is_primal_and_dual_feasible: bool):
+    dtype = problem.b.dtype
+    k = problem.b.shape[-1]
+    feasible = jnp.asarray(is_primal_and_dual_feasible)
+    plan = q_plan(problem)
+    chunk = q_block_chunk(problem, params.max_shared_memory_bytes)
+
+    L_S, LinvB, L_Q = _schur_all(problem, res, plan, chunk)
+    minus_XY, mu, R_error, terminate_max_c = _xy_all(
+        problem, state, np.asarray(params.max_complementarity_mp(dtype)))
+
+    beta_pred = jnp.asarray(
+        params.predictor_beta(is_primal_and_dual_feasible, k, dtype))
+    dx, dX, dy, dY = _search_all(
+        problem, state, res, minus_XY, L_S, LinvB, L_Q,
+        mp.mul(beta_pred, mu), zeros_like_XY(problem, state))
+
+    beta_corrector, dXdY = _beta_pairs_all(
+        problem, state, dX, dY, mu, feasible,
+        np.asarray(params.feasible_centering_mp(dtype)),
+        np.asarray(params.infeasible_centering_mp(dtype)))
+
+    dx, dX, dy, dY = _search_all(
+        problem, state, res, minus_XY, L_S, LinvB, L_Q,
+        mp.mul(beta_corrector, mu), dXdY)
+
+    (new_state, alpha_p, alpha_d, q_cond, max_cond, which) = _finish_all(
+        problem, state, res, L_S, L_Q, dx, dX, dy, dY, feasible,
+        params.step_length_reduction)
+
+    names = _cond_names(problem)
+    which = int(np.asarray(which))
+    info = StepInfo(mu=mu, beta_corrector=beta_corrector,
+                    primal_step=alpha_p, dual_step=alpha_d,
+                    R_error=R_error,
+                    terminate_max_complementarity=terminate_max_c,
+                    q_cond=float(np.asarray(q_cond)),
+                    max_block_cond=float(np.asarray(max_cond)),
+                    max_block_cond_name=names[which] if names else "")
+    return new_state, info
+
+
 def compute_step(problem: BucketedProblem, state: BucketedState,
                  res: Residues, params, is_primal_and_dual_feasible: bool):
     """Host-orchestrated predictor-corrector step (kernel-per-bucket)."""
+    if len(problem.buckets) <= FUSE_MAX_BUCKETS:
+        return _compute_step_fused(problem, state, res, params,
+                                   is_primal_and_dual_feasible)
     dtype = problem.b.dtype
     k = problem.b.shape[-1]
     feasible = jnp.asarray(is_primal_and_dual_feasible)
