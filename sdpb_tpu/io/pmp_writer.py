@@ -119,6 +119,73 @@ class PositiveMatrixWithPrefactor:
         return out
 
 
+def write_pmp_xml(path, objective, matrices) -> None:
+    """`WriteBootstrapSDP` (`mathematica/SDPB.m:134`): the legacy XML
+    PMP format (old sampling), readable by the XML front end
+    (`pmp_read/read_xml`).  Matrices may carry explicit samplePoints /
+    sampleScalings / bilinear bases; the XML schema has no prefactor or
+    normalization."""
+    def w(out, indent, tag, body=None):
+        pad = "  " * indent
+        if body is None:
+            out.append(f"{pad}<{tag}>")
+        else:
+            out.append(f"{pad}<{tag}>{body}</{tag}>")
+
+    def close(out, indent, tag):
+        out.append("  " * indent + f"</{tag}>")
+
+    out = ['<?xml version="1.0"?>', "<sdp>"]
+    w(out, 1, "objective")
+    for v in objective:
+        w(out, 2, "elt", _num_str(v))
+    close(out, 1, "objective")
+    w(out, 1, "polynomialVectorMatrices")
+    for m in matrices:
+        rows = len(m.polynomials)
+        w(out, 2, "polynomialVectorMatrix")
+        w(out, 3, "rows", rows)
+        w(out, 3, "cols", rows)
+        w(out, 3, "elements")
+        for row in m.polynomials:
+            for vec in row:
+                w(out, 4, "polynomialVector")
+                for poly in vec:
+                    w(out, 5, "polynomial")
+                    for c in poly:
+                        w(out, 6, "coeff", _num_str(c))
+                    close(out, 5, "polynomial")
+                close(out, 4, "polynomialVector")
+        close(out, 3, "elements")
+        if m.sample_points is not None:
+            w(out, 3, "samplePoints")
+            for v in m.sample_points:
+                w(out, 4, "elt", _num_str(v))
+            close(out, 3, "samplePoints")
+        if m.sample_scalings is not None:
+            w(out, 3, "sampleScalings")
+            for v in m.sample_scalings:
+                w(out, 4, "elt", _num_str(v))
+            close(out, 3, "sampleScalings")
+        if m.bilinear_basis_even is not None:
+            # old-sampling XML holds ONE bilinearBasis list (both
+            # parities interleaved by the reader's parity split)
+            w(out, 3, "bilinearBasis")
+            for poly in m.bilinear_basis_even:
+                w(out, 4, "polynomial")
+                for c in poly:
+                    w(out, 5, "coeff", _num_str(c))
+                close(out, 4, "polynomial")
+            close(out, 3, "bilinearBasis")
+        close(out, 2, "polynomialVectorMatrix")
+    close(out, 1, "polynomialVectorMatrices")
+    out.append("</sdp>")
+    path = Path(path)
+    if path.parent != Path("."):
+        path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(out) + "\n")
+
+
 def write_pmp_json(path, objective, matrices, normalization=None) -> None:
     """`WritePmpJson` (`mathematica/SDPB.m:46`)."""
     doc = {"objective": [_num_str(v) for v in objective]}
