@@ -435,6 +435,61 @@ def compute_lambda(info, x_vec, zero_values, ctx):
 # Driver
 # ---------------------------------------------------------------------------
 
+def _spectrum_worker(args):
+    """Process-pool entry: re-read the inputs from disk (the files are
+    the interface) and compute a subset of blocks; results cross back
+    as raw-mpf wire form (mpmath clone-context mpfs don't pickle)."""
+    (pmp_info_path, c_minus_By_path, solution, precision, threshold,
+     max_zero, need_lambda, positions) = args
+    from ..pmp.core import make_ctx
+    from ..pmp.read import _to_wire
+
+    ctx = make_ctx(precision)
+    pmp_info = read_pmp_info(pmp_info_path, ctx)
+    c_minus_By = read_c_minus_By(c_minus_By_path, pmp_info, ctx)
+    x = read_x(solution, pmp_info, ctx) if need_lambda else None
+    sub_info = [pmp_info[i] for i in positions]
+    sub_cb = [c_minus_By[i] for i in positions]
+    sub_x = [x[i] for i in positions] if x is not None else None
+    out = compute_spectrum(sub_info, sub_cb, sub_x, ctx.mpf(threshold),
+                           ctx.mpf(max_zero), need_lambda, ctx)
+    return _to_wire(out)
+
+
+def compute_spectrum_parallel(pmp_info_path, c_minus_By_path, solution,
+                              precision, threshold, max_zero, need_lambda,
+                              n_blocks, block_costs, jobs, ctx):
+    """Blocks distributed over worker processes by LPT on cost
+    (the reference runs `compute_spectrum.cxx:17-75` MPI-parallel over
+    blocks); results returned in block order."""
+    import concurrent.futures as cf
+    import multiprocessing as mp_mod
+
+    from ..pmp.read import _from_wire
+    from ..solver.placement import lpt_assign
+
+    bin_of, _ = lpt_assign(block_costs, jobs)
+    groups = [[i for i in range(n_blocks) if bin_of[i] == w]
+              for w in range(jobs)]
+    groups = [g for g in groups if g]
+    results = [None] * n_blocks
+    with cf.ProcessPoolExecutor(
+            max_workers=len(groups),
+            mp_context=mp_mod.get_context("spawn")) as pool:
+        futs = {pool.submit(_spectrum_worker,
+                            (str(pmp_info_path), str(c_minus_By_path),
+                             str(solution) if solution else None,
+                             precision, str(threshold), str(max_zero),
+                             need_lambda, g)): g
+                for g in groups}
+        for fut in cf.as_completed(futs):
+            g = futs[fut]
+            sub = _from_wire(fut.result(), ctx)
+            for pos, entry in zip(g, sub):
+                results[pos] = entry
+    return results
+
+
 def compute_spectrum(pmp_info, c_minus_By, x, threshold, max_zero,
                      need_lambda, ctx):
     """`compute_spectrum.cxx:17-75` (serial over blocks)."""
@@ -504,6 +559,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lambda", dest="need_lambda", default=True,
                    type=lambda s: s.lower() not in ("0", "false", "no"),
                    help="Compute OPE lambda vectors (needs --solution)")
+    p.add_argument("-j", "--jobs", type=int, default=0,
+                   help="Worker processes, blocks LPT-distributed by "
+                        "size (0 = auto; the reference runs this "
+                        "MPI-parallel over blocks, "
+                        "compute_spectrum.cxx:17-75)")
     p.add_argument("-v", "--verbosity", type=int, default=1)
     return p
 
@@ -527,9 +587,22 @@ def main(argv=None) -> int:
             print("spectrum: --lambda requires --solution", file=sys.stderr)
             return 2
         x = read_x(args.solution, pmp_info, ctx)
-    results = compute_spectrum(
-        pmp_info, c_minus_By, x, ctx.mpf(args.threshold),
-        ctx.mpf(args.maxZero), args.need_lambda, ctx)
+    jobs = args.jobs
+    if not jobs:
+        import os
+
+        ncpu = os.cpu_count() or 1
+        jobs = 1 if ncpu <= 2 else min(len(pmp_info), ncpu, 16)
+    if jobs > 1 and len(pmp_info) > 1:
+        costs = [len(info.sample_points) for info in pmp_info]
+        results = compute_spectrum_parallel(
+            args.pmpInfo, c_minus_By_path, args.solution, args.precision,
+            args.threshold, args.maxZero, args.need_lambda,
+            len(pmp_info), costs, jobs, ctx)
+    else:
+        results = compute_spectrum(
+            pmp_info, c_minus_By, x, ctx.mpf(args.threshold),
+            ctx.mpf(args.maxZero), args.need_lambda, ctx)
     write_spectrum(args.output, results, ctx)
     if args.verbosity >= 1:
         nz = sum(len(e["zeros"]) for e in results)

@@ -53,3 +53,28 @@ def test_spectrum_matches_golden(case, tmp_path):
                 assert abs(mpmath.mpf(o["error"])
                            - mpmath.mpf(g["error"])) \
                     < mpmath.mpf("1e-30") + mpmath.mpf(g["error"])
+
+
+def test_spectrum_parallel_matches_serial(tmp_path):
+    """Block-parallel spectrum (LPT over worker processes, the
+    reference's MPI distribution in `compute_spectrum.cxx:17-75`)
+    produces byte-identical output to the serial path."""
+    d = REF / "1d-constraints" / "output"
+    ctx = make_ctx(512)
+    pmp_info = spec.read_pmp_info(d / "sdp" / "pmp_info.json", ctx)
+    if len(pmp_info) < 2:
+        pytest.skip("need >= 2 blocks")
+    cb_path = d / "out" / "c_minus_By" / "c_minus_By.json"
+    c_minus_By = spec.read_c_minus_By(cb_path, pmp_info, ctx)
+    x = spec.read_x(d / "out", pmp_info, ctx)
+    serial = spec.compute_spectrum(
+        pmp_info, c_minus_By, x, ctx.mpf("1e-10"), ctx.mpf(0), True, ctx)
+    parallel = spec.compute_spectrum_parallel(
+        d / "sdp" / "pmp_info.json", cb_path, d / "out", 512,
+        "1e-10", "0", True, len(pmp_info),
+        [len(i.sample_points) for i in pmp_info], 2, ctx)
+    out_s = tmp_path / "serial.json"
+    out_p = tmp_path / "parallel.json"
+    spec.write_spectrum(out_s, serial, ctx)
+    spec.write_spectrum(out_p, parallel, ctx)
+    assert out_s.read_text() == out_p.read_text()
