@@ -584,7 +584,9 @@ class StepInfo(NamedTuple):
 # kernels.
 # ---------------------------------------------------------------------------
 
-FUSE_MAX_BUCKETS = 3
+import os as _os
+
+FUSE_MAX_BUCKETS = int(_os.environ.get("SDPB_TPU_FUSE_MAX_BUCKETS", "3"))
 
 
 @jax.jit
