@@ -462,9 +462,12 @@ def _min_eig_mp(c_mp):
     the MP Rayleigh quotient v^T C v / v^T v of the computed
     eigenvector recovers eigenvalue accuracy to second order in the
     eigenvector error (and for clustered eigenvalues lands inside the
-    cluster, which is all the step length needs).  The result is an
-    upper bound on lambda_min; the (1-gamma) step margin absorbs the
-    remaining slack exactly as in the reference."""
+    cluster, which is all the step length needs).  Measured against an
+    mpmath full-precision eigensolve (tests/test_min_eig.py): relative
+    error ~ eps_f64^2 * (||C|| / |lambda_min|) -- 1e-22 at conditioning
+    1e8, 1e-10 at 1e20, where plain f64 loses everything past 1e16.
+    The result is an upper bound on lambda_min; the (1-gamma) step
+    margin absorbs the remaining slack exactly as in the reference."""
     k = c_mp.shape[-1]
     w, v = jnp.linalg.eigh(mp.approx(c_mp))
     v0 = v[:, 0]
