@@ -41,6 +41,47 @@ MPArray = jax.Array
 # Default precision: 4 f64 words ~ 212 bits ~ 63 decimal digits.
 DEFAULT_K = 4
 
+# Format dispatch: float64 arrays are word EXPANSIONS (this module's
+# native algorithms, correctly-rounded IEEE doubles on CPU); float32
+# arrays are the TPU limb format (mp/limb.py: base-2^9 integer limbs +
+# per-element exponent).  The f32-expansion format is retired -- it is
+# capped at ~150 bits by f32's exponent range, which cannot express the
+# reference's 400-bit/1e-30/1e20-scale production contract
+# (`Solver_Parameters.cxx:74-92`); the limb format has no such cap.
+from . import limb as _limb  # noqa: E402  (no import cycle: limb is leaf)
+
+
+def is_limb(a) -> bool:
+    return jnp.dtype(a.dtype) == jnp.float32
+
+
+def _limb_dtype(dtype) -> bool:
+    return jnp.dtype(dtype) == jnp.float32
+
+
+def precision_bits_of(dtype, k: int) -> int:
+    """Significand bits carried by a k-slot MP array of this dtype."""
+    if _limb_dtype(dtype):
+        return _limb.precision_bits(k)
+    return 53 * k
+
+
+def lead(a: MPArray):
+    """Monotonic float sort key of the value (for argmin/argmax over
+    MP arrays; exact for expansions, ~2^-17-resolution for limbs)."""
+    if is_limb(a):
+        return _limb.lead(a)
+    return a[..., 0]
+
+
+def one_np(k: int, dtype) -> np.ndarray:
+    """Host-side constant 1 in the given format."""
+    if _limb_dtype(dtype):
+        return _limb.one(k)
+    out = np.zeros((k,), np.dtype(jnp.dtype(dtype).name))
+    out[0] = 1.0
+    return out
+
 _SPLITTERS = {
     jnp.dtype(jnp.float64): 134217729.0,  # 2**27 + 1
     jnp.dtype(jnp.float32): 4097.0,       # 2**12 + 1
@@ -66,6 +107,8 @@ def approx_dtype(dtype):
 def from_f64_np(x: float, k: int, dtype) -> np.ndarray:
     """Host-side (numpy) exact split of a python float into K words.
     Safe to call eagerly with any default backend (no device ops)."""
+    if _limb_dtype(dtype):
+        return _limb.from_f64_np(x, k)
     dtype = np.dtype(jnp.dtype(dtype).name)
     words = np.zeros(k, dtype=dtype)
     r = np.float64(x)
@@ -135,6 +178,8 @@ def from_f64(x, k: int = DEFAULT_K, dtype=jnp.float64) -> MPArray:
     first words (two f32 words hold 48 of f64's 53 bits; three hold all,
     when k allows).
     """
+    if _limb_dtype(dtype):
+        return _limb.from_float(x, k)
     x = jnp.asarray(x, dtype=jnp.float64)
     dtype = jnp.dtype(dtype)
     if dtype == jnp.dtype(jnp.float64):
@@ -159,6 +204,8 @@ def from_array(words) -> MPArray:
 
 def to_f64(a: MPArray):
     """Round an MP array to float64 (sum words from least significant)."""
+    if is_limb(a):
+        return _limb.fst(a)
     a = a.astype(jnp.float64)
     out = a[..., -1]
     for i in range(a.shape[-1] - 2, -1, -1):
@@ -171,6 +218,8 @@ def approx(a: MPArray):
     safe inside TPU kernels where f64 is a broken emulation).  Sums
     words from least significant; relative error ~ ulp(word dtype),
     which is ample for error-norm reporting and threshold compares."""
+    if is_limb(a):
+        return _limb.fst(a)
     out = a[..., -1]
     for i in range(a.shape[-1] - 2, -1, -1):
         out = out + a[..., i]
@@ -182,6 +231,8 @@ def const_word(x, k: int, dtype=jnp.float64) -> MPArray:
     (small ints, powers of two, word-dtype scalars).  Unlike
     ``from_f64`` this never touches f64 arithmetic, so it is safe in
     TPU kernels with f32 words."""
+    if _limb_dtype(dtype):
+        return _limb.const_word(x, k)
     x = jnp.asarray(x, dtype)
     return jnp.concatenate(
         [x[..., None], jnp.zeros((*x.shape, k - 1), dtype=dtype)], axis=-1
@@ -190,6 +241,8 @@ def const_word(x, k: int, dtype=jnp.float64) -> MPArray:
 
 def fst(a: MPArray):
     """Leading word (a word-dtype approximation of the value)."""
+    if is_limb(a):
+        return _limb.fst(a)
     return a[..., 0]
 
 
@@ -368,6 +421,8 @@ def renorm_words(words: Sequence, k: int, sort: bool = True,
 
 def add(a: MPArray, b: MPArray) -> MPArray:
     """MP + MP (word counts must match)."""
+    if is_limb(a):
+        return _limb.add(a, b)
     k = a.shape[-1]
     assert b.shape[-1] == k, (a.shape, b.shape)
     if k == 1:
@@ -390,6 +445,8 @@ def add(a: MPArray, b: MPArray) -> MPArray:
 
 def add_f64(a: MPArray, x) -> MPArray:
     """MP + plain float array (x exact in the word dtype)."""
+    if is_limb(a):
+        return _limb.add_float(a, x)
     k = a.shape[-1]
     x = jnp.broadcast_to(jnp.asarray(x, a.dtype), a.shape[:-1])
     if k == 1:
@@ -437,6 +494,8 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     level-ordered sequence is already approximately decreasing, which
     is what VecSum/VecSumErrBranch need.
     """
+    if is_limb(a):
+        return _limb.mul(a, b)
     k = a.shape[-1]
     assert b.shape[-1] == k, (a.shape, b.shape)
     if k == 1:
@@ -456,6 +515,8 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
 
 def mul_f64(a: MPArray, x) -> MPArray:
     """MP * plain float array (x treated as exact in the word dtype)."""
+    if is_limb(a):
+        return _limb.mul_float(a, x)
     k = a.shape[-1]
     x = jnp.broadcast_to(jnp.asarray(x, a.dtype), a.shape[:-1])
     if k == 1:
@@ -485,6 +546,8 @@ def is_mp_scalar_like(s, a) -> bool:
 
 def mul_pow2(a: MPArray, c) -> MPArray:
     """Exact multiply by a power of two (no renormalization needed)."""
+    if is_limb(a):
+        return _limb.mul_pow2(a, c)
     return a * jnp.asarray(c, a.dtype)
 
 
@@ -496,6 +559,8 @@ def div(a: MPArray, b: MPArray) -> MPArray:
     """MP / MP by long division (K+1 quotient terms, cf. QD library).
     The quotient-digit recurrence is a lax.scan so the compiled graph
     is O(1) in K."""
+    if is_limb(a):
+        return _limb.div(a, b)
     k = a.shape[-1]
     if k == 1:
         return (a[..., 0] / b[..., 0])[..., None]
@@ -521,6 +586,8 @@ def sqrt(a: MPArray) -> MPArray:
 
     Negative inputs produce NaN (propagated), mirroring the reference's
     treatment of failed Cholesky as a precision error."""
+    if is_limb(a):
+        return _limb.sqrt(a)
     k = a.shape[-1]
     if k == 1:
         return jnp.sqrt(a)
@@ -556,16 +623,22 @@ def _seed(w0, k):
 
 def abs_(a: MPArray) -> MPArray:
     """|a| via sign of the leading word (valid for normalized expansions)."""
+    if is_limb(a):
+        return _limb.abs_(a)
     sign = jnp.where(a[..., :1] < 0, -1.0, 1.0).astype(a.dtype)
     return a * sign
 
 
 def cmp_lt(a: MPArray, b: MPArray):
+    if is_limb(a):
+        return _limb.cmp_lt(a, b)
     d = sub(a, b)
     return d[..., 0] < 0
 
 
 def cmp_leq(a: MPArray, b: MPArray):
+    if is_limb(a):
+        return _limb.cmp_leq(a, b)
     d = sub(a, b)
     return d[..., 0] <= 0
 
@@ -588,6 +661,8 @@ def max_abs(a: MPArray, axes=None):
     Argmax on the leading word picks the winner (valid for normalized
     expansions: word 0 dominates; ties differ below one ulp, which is
     irrelevant for the threshold comparisons this feeds)."""
+    if is_limb(a):
+        return _limb.max_abs(a, axes)
     aa = abs_(a)
     if axes is None:
         axes = tuple(range(a.ndim - 1))

@@ -56,7 +56,7 @@ def _int_backend_ok(a, b, syrk: bool) -> bool:
     # CPU-XLA int8 dot_general has no fast BLAS path (measured ~1x at
     # best, 0.7x at nb=16 n=240); route batched products only where the
     # MXU exists.
-    if jax.default_backend() not in ("tpu",):
+    if jax.default_backend() not in ("tpu", "axon"):
         return False
     batch = int(np.prod(a.shape[:-3]))
     return (work >= _INT_BACKEND_MIN_WORK_PER_BATCH
@@ -90,7 +90,7 @@ def _matmul_impl(a: MPArray, b: MPArray, transpose_a: bool,
     if _int_backend_ok(a, b, syrk):
         from ..ops import mpmm
 
-        plan = mpmm.plan_for(mpmm.word_bits(a.dtype) * k, n)
+        plan = mpmm.plan_for(core.precision_bits_of(a.dtype, k), n)
         at = jnp.swapaxes(a, -3, -2)          # (..., n, m, K)
         if syrk:
             return mpmm.syrk_mp_batched(at, plan)
@@ -211,7 +211,8 @@ def _pad_identity(a: MPArray, npad: int) -> MPArray:
     out = jnp.zeros((n + npad, n + npad, k), a.dtype)
     out = jax.lax.dynamic_update_slice(out, a, (0, 0, 0))
     idx = n + jnp.arange(npad)
-    return out.at[idx, idx, 0].set(1.0)
+    onev = jnp.asarray(core.one_np(k, a.dtype))
+    return out.at[idx, idx, :].set(onev)
 
 
 @jax.jit

@@ -104,7 +104,7 @@ def _residues_combine(objective_const, b, y, cx_parts, bx_parts, derrs,
                       perrs):
     k = b.shape[-1]
     dtype = b.dtype
-    one = jnp.zeros((k,), dtype).at[0].set(1.0)
+    one = jnp.asarray(mp.one_np(k, dtype))
     cx = cx_parts[0]
     for c_ in cx_parts[1:]:
         cx = mp.add(cx, c_)
@@ -223,7 +223,7 @@ def q_plan(problem: BucketedProblem):
 
     k = problem.b.shape[-1]
     total_rows = sum(bk.nb * bk.shape.schur_size for bk in problem.buckets)
-    return mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
+    return mpmm.plan_for(mpmm.precision_of(problem.b.dtype, k), total_rows)
 
 
 def q_block_chunk(problem: BucketedProblem, max_bytes: int | None):
@@ -482,8 +482,9 @@ def corrector_beta(problem: BucketedProblem, state: BucketedState, dX, dY,
 # ---------------------------------------------------------------------------
 
 def _min_mp_over(lams):
-    """MP min over the leading axis by leading-word argmin."""
-    idx = jnp.argmin(lams[..., 0], axis=0)
+    """MP min over the leading axis by monotonic-key argmin (exact
+    leading word for expansions, log2-key for the limb format)."""
+    idx = jnp.argmin(mp.lead(lams), axis=0)
     return jnp.take_along_axis(lams, idx[None, ..., None], axis=0)[0]
 
 

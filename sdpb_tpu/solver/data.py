@@ -153,7 +153,12 @@ def raw_to_dtype(raw, k: int, dtype):
     from ..mp import decimal as mpdec
 
     dtype = np.dtype(jnp.dtype(dtype).name)
-    conv = lambda a: mpdec.words_to_dtype(np.asarray(a), k, dtype)
+    if dtype == np.float32:
+        from ..mp import limb as mplimb
+
+        conv = lambda a: mplimb.from_words_np(np.asarray(a), k)
+    else:
+        conv = lambda a: mpdec.words_to_dtype(np.asarray(a), k, dtype)
     out = copy.copy(raw)
     out.objective_const = conv(raw.objective_const)
     out.b = conv(raw.b)
@@ -209,8 +214,8 @@ def initial_state(problem: SDPProblem, scale_primal, scale_dual,
 
     def eye(n, scale):
         m = mpcore.zeros((n, n), k, dtype=dtype)
-        return m.at[jnp.arange(n), jnp.arange(n), 0].set(
-            jnp.asarray(scale, dtype))
+        svec = jnp.asarray(mpcore.from_f64_np(float(scale), k, dtype))
+        return m.at[jnp.arange(n), jnp.arange(n), :].set(svec)
 
     X = []
     x = []
@@ -359,8 +364,8 @@ def initial_bucketed_state(problem: BucketedProblem, scale_primal,
         m = jnp.zeros((nb, n, n, k), dtype=dtype)
         if n == 0:
             return m
-        return m.at[:, jnp.arange(n), jnp.arange(n), 0].set(
-            jnp.asarray(scale, dtype))
+        svec = jnp.asarray(mpcore.from_f64_np(float(scale), k, dtype))
+        return m.at[:, jnp.arange(n), jnp.arange(n), :].set(svec)
 
     x, X, Y = [], [], []
     for bk in problem.buckets:

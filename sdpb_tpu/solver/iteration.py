@@ -221,7 +221,7 @@ class Residues(NamedTuple):
 @functools.partial(jax.jit, static_argnames=())
 def compute_residues(problem: SDPProblem, state: SolverState) -> Residues:
     k = problem.b.shape[-1]
-    one = jnp.zeros((k,), problem.b.dtype).at[0].set(1.0)
+    one = jnp.asarray(mp.one_np(k, problem.b.dtype))
 
     # objectives (`compute_objectives.cxx`)
     cx = mp.zeros((), k, dtype=problem.b.dtype)

@@ -57,9 +57,14 @@ class SolverParams:
 
     @property
     def n_words(self) -> int:
-        """Word count at the configured word dtype (53 or 24 bits/word)."""
-        bits = mpcore.WORD_BITS[jnp.dtype(self.word_dtype)]
-        return max(2, -(-self.precision // bits))
+        """Trailing-axis slot count of the MP arrays at this precision:
+        f64 words (53 bits each) on CPU; the TPU limb format's
+        exponent-slot + base-2^9 limbs otherwise (mp/limb.py)."""
+        if jnp.dtype(self.word_dtype) == jnp.float32:
+            from ..mp import limb as mplimb
+
+            return mplimb.slots_for_precision(self.precision)
+        return max(2, -(-self.precision // 53))
 
     # -- MP constants (cached per dtype; numpy so they are never
     #    created inside a jit trace) ------------------------------------
@@ -68,9 +73,11 @@ class SolverParams:
         k = self.n_words
         if np.dtype(dtype_name) == np.float64:
             return np.asarray(mpdec.from_decimal(decimal, k))
+        from ..mp import limb as mplimb
+
         k64 = max(2, -(-self.precision // 53)) + 1
         words = mpdec.from_decimal(decimal, k64)
-        return mpdec.words_to_dtype(words, k, np.dtype(dtype_name))
+        return mplimb.from_words_np(words, k)
 
     def mpconst(self, decimal: str, dtype=jnp.float64):
         return self._const(decimal, jnp.dtype(dtype).name)
