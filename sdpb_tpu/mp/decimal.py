@@ -51,7 +51,12 @@ def from_decimal(s: str, k: int = DEFAULT_K) -> np.ndarray:
 
 
 def to_mpf(words, ctx: mpmath.MPContext | None = None):
-    """Exact sum of float64 words as an mpmath mpf."""
+    """Exact mpmath value of one MP scalar: f64-word expansions are
+    summed exactly; f32 arrays are the TPU limb format (mp/limb.py)."""
+    if np.asarray(words).dtype == np.float32:
+        from . import limb as mplimb
+
+        return mplimb.to_mpf(np.asarray(words), ctx)
     words = np.asarray(words, dtype=np.float64)
     k = words.shape[-1]
     if ctx is None:
@@ -68,6 +73,17 @@ def to_decimal(words, digits: int | None = None) -> str:
     Default digit count comes from the words' actual exponent span
     (greedy expansions can have gaps, so 53*K digits is not always
     enough for an exact round trip)."""
+    if np.asarray(words).dtype == np.float32:
+        from . import limb as mplimb
+
+        v = mplimb.to_mpf(np.asarray(words))
+        k_slots = np.asarray(words).shape[-1]
+        ctx = mpmath.mp.clone()
+        ctx.prec = 9 * (k_slots + 8)
+        if digits is None:
+            digits = int(np.ceil(9 * k_slots * 0.30103)) + 2
+        return ctx.nstr(v, digits, strip_zeros=True, min_fixed=1,
+                        max_fixed=0)
     words = np.asarray(words, dtype=np.float64)
     nat = _native()
     if nat is not None:

@@ -70,6 +70,15 @@ def n_limbs(a) -> int:
     return a.shape[-1] - 1
 
 
+def _broadcast_pair(a, b):
+    """Broadcast two limb arrays over their batch (leading) dims."""
+    if a.shape == b.shape:
+        return a, b
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    return (jnp.broadcast_to(a, batch + a.shape[-1:]),
+            jnp.broadcast_to(b, batch + b.shape[-1:]))
+
+
 def slots_for_precision(precision_bits: int) -> int:
     """Trailing-axis size (1 exponent slot + limbs) holding at least
     ``precision_bits`` significant bits plus one guard limb."""
@@ -228,10 +237,21 @@ def from_float(x, k_slots: int) -> MPArray:
     x64 is enabled on CPU where frexp keeps 53 bits across 7 limbs)."""
     x = jnp.asarray(x)
     if x.dtype == jnp.float64:
-        # split exactly into high + low f32 parts, convert both
-        hi = x.astype(jnp.float32)
-        lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
-        return add(from_float(hi, k_slots), from_float(lo, k_slots))
+        # frexp first so the three f32 parts of the mantissa are all
+        # normal (a direct 3-way split hits f32 subnormals below
+        # ~2^-100 and overflows above 2^128), then apply the exponent
+        # exactly in limb units.
+        m64, e64 = jnp.frexp(x)
+        hi = m64.astype(jnp.float32)
+        r = m64 - hi.astype(jnp.float64)
+        mid = r.astype(jnp.float32)
+        lo = (r - mid.astype(jnp.float64)).astype(jnp.float32)
+        out = add(add(from_float(hi, k_slots), from_float(mid, k_slots)),
+                  from_float(lo, k_slots))
+        out = scale_pow2_bits(out, e64.astype(jnp.int32))
+        bad = ~jnp.isfinite(x)
+        return jnp.where(bad[..., None],
+                         from_float(x.astype(jnp.float32), k_slots), out)
     x = x.astype(jnp.float32)
     e_x, ls = _float_limbs(x)
     ext = _heads(ls, 1)
@@ -382,6 +402,7 @@ def sign_word(a: MPArray):
 def add(a: MPArray, b: MPArray) -> MPArray:
     L = n_limbs(a)
     assert n_limbs(b) == L, (a.shape, b.shape)
+    a, b = _broadcast_pair(a, b)
     ea, la = _split(a)
     eb, lb = _split(b)
     za = jnp.all(la == 0.0, axis=-1)
@@ -415,6 +436,7 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     """Truncated product; relative error < ~2^-(B*(L-1))."""
     L = n_limbs(a)
     assert n_limbs(b) == L, (a.shape, b.shape)
+    a, b = _broadcast_pair(a, b)
     G = 2
     ea, la = _split(a)
     eb, lb = _split(b)
@@ -431,10 +453,20 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     return jnp.where(nan[..., None], _nan_like(out, a, b), out)
 
 
+def _scalar_operand(a, x):
+    """Coerce a float operand to a's batch shape.  Accepts operands
+    shaped like the full MP array with a length-1 trailing axis (the
+    expansion format's `a * c` broadcast convention)."""
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == a.ndim and x.shape[-1] == 1:
+        x = x[..., 0]
+    return jnp.broadcast_to(x, a.shape[:-1])
+
+
 def mul_float(a: MPArray, x) -> MPArray:
     """MP * float array (x treated as exact f32); 4-limb short conv."""
     L = n_limbs(a)
-    x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), a.shape[:-1])
+    x = _scalar_operand(a, x)
     ea, la = _split(a)
     e_x, xs = _float_limbs(x)                    # (..., 4)
     n_out = L + 2
@@ -461,8 +493,7 @@ def mul_pow2(a: MPArray, c) -> MPArray:
     if np.ndim(c) == 0 and not isinstance(c, jax.Array) \
             and float(c) == 1.0:
         return a
-    return mul_float(a, jnp.broadcast_to(jnp.asarray(c, jnp.float32),
-                                         a.shape[:-1]))
+    return mul_float(a, c)
 
 
 def _carry_keep_head(limbs, passes: int):
@@ -487,6 +518,7 @@ def div(a: MPArray, b: MPArray) -> MPArray:
     intermediate stays integer-exact (< 2^24)."""
     L = n_limbs(a)
     assert n_limbs(b) == L, (a.shape, b.shape)
+    a, b = _broadcast_pair(a, b)
     ea, la = _split(a)
     eb, lb = _split(b)
     bhat = _mant3(lb)
@@ -551,8 +583,7 @@ def sqrt(a: MPArray) -> MPArray:
 
 
 def add_float(a: MPArray, x) -> MPArray:
-    x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), a.shape[:-1])
-    return add(a, from_float(x, a.shape[-1]))
+    return add(a, from_float(_scalar_operand(a, x), a.shape[-1]))
 
 
 def scale_limb_exp(a: MPArray, d) -> MPArray:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mp import core as mpcore
+from ..mp import limb as mplimb
 from . import exact
 from .exact import CrtPlan
 
@@ -64,6 +65,8 @@ def _split_mantissa(w):
 def exponents(x_mp):
     """Per-element int32 e with |value| < 2^e, from the leading word
     (for normalized expansions word 0 carries >= half the value)."""
+    if mpcore.is_limb(x_mp):
+        return mplimb.exponent_bits(x_mp)
     mant, emask, bias, _ = _FINFO[jnp.dtype(x_mp.dtype)]
     _, _, lsb = _split_mantissa(x_mp[..., 0])
     # |word0| < 2^(lsb + mant + 1); tail words add < 1 ulp of word0.
@@ -82,6 +85,8 @@ def pow2(e, dtype):
 def scale_pow2(x_mp, e):
     """x * 2^e with integer e broadcastable over the batch shape; exact
     (two half-steps keep each factor within the exponent range)."""
+    if mpcore.is_limb(x_mp):
+        return mplimb.scale_pow2_bits(x_mp, e)
     h1 = e // 2
     h2 = e - h1
     s1 = pow2(h1, x_mp.dtype)[..., None]
@@ -100,6 +105,8 @@ def digits_dev(x_mp, plan: CrtPlan):
     On-device replacement for `exact.mp_to_digits` (which runs exact
     f64 host arithmetic); this version is pure int ops, so it is safe
     on TPUs for both f32 and f64 word dtypes."""
+    if mpcore.is_limb(x_mp):
+        return mplimb.digits_dev(x_mp, plan.shift_bits, plan.n_digits)
     D = plan.n_digits
     shift = plan.shift_bits
     k = x_mp.shape[-1]
@@ -163,6 +170,11 @@ def planes_to_mp_dev(planes, plan: CrtPlan, k_out: int, word_dtype):
     2^-ref_bits normalization (ref = weight of the top plane) keeps
     every word within the float exponent range regardless of
     plan.bits; callers fold ref_bits into their unscaling step."""
+    if jnp.dtype(word_dtype) == jnp.float32:
+        # TPU limb format: planes regrid statically onto the base-2^9
+        # limb grid; same 2^-ref_bits normalization contract.
+        ref_bits = 2 * plan.shift_bits
+        return mplimb.planes_to_limb(planes, ref_bits, k_out)
     group, n_keep, ref_bits, P = _plane_words_spec(plan, k_out, word_dtype)
     dt = jnp.dtype(word_dtype)
     words = []
@@ -229,8 +241,8 @@ def restore_q_mp(q_res, e_col, plan: CrtPlan, k_out: int, word_dtype):
     un-normalization by 2^(e_i + e_j)."""
     planes = exact.crt_restore_planes(q_res, plan)
     w = planes_to_mp_dev(planes, plan, k_out, word_dtype)
-    _, _, ref_bits, _ = _plane_words_spec(plan, k_out, word_dtype)
-    E = (ref_bits - 2 * plan.shift_bits) + e_col[:, None] + e_col[None, :]
+    E = (_ref_bits(plan, k_out, word_dtype) - 2 * plan.shift_bits) \
+        + e_col[:, None] + e_col[None, :]
     return scale_pow2(w, E)
 
 
@@ -251,8 +263,8 @@ def gemm_mp(a_mp, b_mp, plan: CrtPlan, k_out: int | None = None):
         exact.residues_split(da, plan), exact.residues_split(db, plan), plan)
     planes = exact.crt_restore_planes(c_res, plan)
     w = planes_to_mp_dev(planes, plan, k_out, a_mp.dtype)
-    _, _, ref_bits, _ = _plane_words_spec(plan, k_out, a_mp.dtype)
-    E = (ref_bits - 2 * plan.shift_bits) + e_a[:, None] + e_b[None, :]
+    E = (_ref_bits(plan, k_out, a_mp.dtype) - 2 * plan.shift_bits) \
+        + e_a[:, None] + e_b[None, :]
     return _poison_nonfinite(scale_pow2(w, E), a_mp, b_mp)
 
 
@@ -303,3 +315,15 @@ def plan_for(precision_bits: int, n_rows_max: int) -> CrtPlan:
 
 def word_bits(dtype) -> int:
     return 24 if jnp.dtype(dtype) == jnp.float32 else 53
+
+
+def _ref_bits(plan: CrtPlan, k_out: int, word_dtype) -> int:
+    if jnp.dtype(word_dtype) == jnp.float32:
+        return 2 * plan.shift_bits
+    return _plane_words_spec(plan, k_out, word_dtype)[2]
+
+
+def precision_of(dtype, k: int) -> int:
+    """Significand bits of a k-slot MP array (expansion words or the
+    limb format); the plan-sizing companion of `plan_for`."""
+    return mpcore.precision_bits_of(dtype, k)

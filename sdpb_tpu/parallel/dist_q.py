@@ -69,7 +69,7 @@ def _restore_rows(q_scat, e_col_pad, finite, plan, k, dtype, n: int):
     q_scat = mpmm.reduce_residues_mod(q_scat, plan)
     planes = exact.crt_restore_planes(q_scat, plan)
     w = mpmm.planes_to_mp_dev(planes, plan, k, dtype)
-    _, _, ref_bits, _ = mpmm._plane_words_spec(plan, k, dtype)
+    ref_bits = mpmm._ref_bits(plan, k, dtype)
     e_row = jax.lax.dynamic_slice(e_col_pad, (row0,), (rows_loc,))
     E = (ref_bits - 2 * plan.shift_bits) \
         + e_row[:, None] + e_col_pad[:n][None, :]

@@ -126,5 +126,5 @@ def syrk(mesh: Mesh, x_sharded, k_out: int | None = None):
 
     n, m, k = x_sharded.shape
     k_out = k_out if k_out is not None else k
-    plan = mpmm.plan_for(mpmm.word_bits(x_sharded.dtype) * k, n)
+    plan = mpmm.plan_for(mpmm.precision_of(x_sharded.dtype, k), n)
     return _syrk_kernel(mesh, plan, k_out)(x_sharded)

@@ -402,7 +402,7 @@ def schur_factorize(problem: MeshProblem, res):
     k = problem.b.shape[-1]
     total_rows = sum(mb.data.nb * mb.shape.schur_size
                      for mb in problem.buckets)
-    plan = mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
+    plan = mpmm.plan_for(mpmm.precision_of(problem.b.dtype, k), total_rows)
     distributed = problem.dual_dim >= DIST_Q_MIN_N
     L_S, LinvB = [], []
     lbms, e_cols, fins = [], [], []

@@ -86,7 +86,7 @@ def _q_plan_dims(problem):
 
     k = problem.b.shape[-1]
     total_rows = sum(bk.nb * bk.shape.schur_size for bk in problem.buckets)
-    plan = mpmm.plan_for(mpmm.word_bits(problem.b.dtype) * k, total_rows)
+    plan = mpmm.plan_for(mpmm.precision_of(problem.b.dtype, k), total_rows)
     return plan.n_primes, plan.n_digits, plan.out_planes, total_rows
 
 

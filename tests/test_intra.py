@@ -70,7 +70,7 @@ def test_sharded_syrk_exact(mesh8):
     x[..., 1] = x[..., 0] * 1e-17
     x = jnp.asarray(x)
 
-    plan = mpmm.plan_for(mpmm.word_bits(x.dtype) * k, n)
+    plan = mpmm.plan_for(mpmm.precision_of(x.dtype, k), n)
     ref = np.asarray(mpmm.syrk_mp(x, plan))
     got = np.asarray(intra.syrk(mesh8, intra.shard_rows(mesh8,
                                                         np.asarray(x))))

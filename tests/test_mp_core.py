@@ -188,51 +188,57 @@ def _f32_to_mpf_vec(a, ctx):
     return out
 
 
-@pytest.mark.parametrize("k", [2, 4, 5])
+@pytest.mark.parametrize("k", [20, 26])
 @pytest.mark.parametrize("op", ["add", "mul", "div"])
-def test_f32_word_ops_accuracy(k, op):
-    """f32-word expansions: per-word precision is 24 bits, so k words
-    give ~24k bits (within the normalized-value contract, see
-    _rand_mp32).  This is the configuration usable on real TPU chips
-    (their f64 emulation is not correctly rounded, f32 is)."""
+def test_f32_dispatch_routes_to_limb(k, op):
+    """float32 MP arrays are the TPU limb format (mp/limb.py); the
+    core API must dispatch there and deliver ~9*(k-2)-bit accuracy
+    (the retired f32-expansion format was capped at ~150 bits by the
+    f32 exponent range and could not run the reference's production
+    contract -- see mp/limb.py docstring)."""
+    from sdpb_tpu.mp import limb
+
     rng = np.random.default_rng(k * 31 + sum(map(ord, op)))
     ctx = mpmath.mp.clone()
-    ctx.prec = 24 * k + 120
-    a = _rand_mp32(rng, (200,), k)
-    b = _rand_mp32(rng, (200,), k)
-    assert a.dtype == np.float32
+    ctx.prec = 9 * k + 120
+    xv = rng.standard_normal(64) * 2.0 ** rng.integers(-80, 80, 64)
+    yv = rng.standard_normal(64) * 2.0 ** rng.integers(-80, 80, 64)
+    a = core.from_f64(xv, k=k, dtype=np.float32)
+    b = core.from_f64(yv, k=k, dtype=np.float32)
+    assert np.asarray(a).dtype == np.float32
     got = np.asarray(getattr(core, op)(a, b))
-    assert got.dtype == np.float32
-    av, bv = _f32_to_mpf_vec(a, ctx), _f32_to_mpf_vec(b, ctx)
     opf = {
         "add": lambda x, y: x + y,
         "mul": lambda x, y: x * y,
         "div": lambda x, y: x / y,
     }[op]
-    tol = mpmath.mpf(2) ** (-(24 * k - 10))
-    for g, x, y in zip(_f32_to_mpf_vec(got, ctx), av, bv):
-        w = opf(x, y)
+    tol = mpmath.mpf(2) ** (-(9 * (k - 2) - 12))
+    for i in range(64):
+        g = limb.to_mpf(got[i], ctx)
+        w = opf(ctx.mpf(float(xv[i])), ctx.mpf(float(yv[i])))
+        denom = abs(w) if w != 0 else mpmath.mpf(1)
         if op == "add":
-            denom = max(abs(x), abs(y), mpmath.mpf(1e-300))
-        else:
-            denom = abs(w) if w != 0 else mpmath.mpf(1)
-        assert abs(g - w) / denom < tol, f"k={k} op={op}"
+            denom = max(abs(ctx.mpf(float(xv[i]))),
+                        abs(ctx.mpf(float(yv[i]))))
+        assert abs(g - w) / denom < tol, f"k={k} op={op} i={i}"
 
 
 def test_f32_from_f64_roundtrip():
+    from sdpb_tpu.mp import limb
+
     rng = np.random.default_rng(0)
     x = rng.standard_normal(50) * 10.0 ** rng.integers(-20, 20, 50)
-    mp32 = core.from_f64(x, k=4, dtype=np.float32)
+    mp32 = core.from_f64(x, k=10, dtype=np.float32)
     assert np.asarray(mp32).dtype == np.float32
-    np.testing.assert_array_equal(core.to_f64(mp32), x)
-
-
-def test_astype_words_f64_f32():
-    rng = np.random.default_rng(1)
+    # to_f64/fst on limb arrays is a top-3-limbs approximation; its
+    # relative error is bounded by 2^-17 only when the leading limb is
+    # large, and ~2^-18.5 * BETA / l_1 in general
+    np.testing.assert_allclose(core.to_f64(mp32), x.astype(np.float32),
+                               rtol=1e-5)
     ctx = mpmath.mp.clone()
-    ctx.prec = 400
-    a = _rand_mp(rng, (20,), 2, scale_pow=2)
-    a32 = core.astype_words(a, np.float32, k=5)
-    back = core.astype_words(a32, np.float64, k=2)
-    for u, v in zip(_to_mpf_vec(np.asarray(a), ctx), _to_mpf_vec(np.asarray(back), ctx)):
-        assert abs(u - v) <= abs(u) * mpmath.mpf(2) ** -100
+    ctx.prec = 200
+    # the conversion preserves the FULL f64 value (53 bits), not its
+    # f32 rounding
+    for i in range(50):
+        g = limb.to_mpf(np.asarray(mp32[i]), ctx)
+        assert g == ctx.mpf(float(x[i]))
