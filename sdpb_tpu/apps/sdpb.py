@@ -58,14 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--initialCheckpointDir", default=None)
     p.add_argument("--verbosity", type=int, default=1,
                    help="0=none, 1=regular, 2=debug, 3=trace")
-    p.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
-                   help="cpu: f64-word expansions (correctly-rounded "
-                        "IEEE doubles). tpu: f32-word expansions on the "
+    p.add_argument("--device", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="auto (default): tpu when a chip is present, "
+                        "else cpu. cpu: f64-word expansions "
+                        "(correctly-rounded IEEE doubles). tpu: the "
+                        "base-2^9 limb MP format (mp/limb.py) on the "
                         "VPU + the exact int8-MXU CRT pipeline for the "
-                        "O(n^3) products; precision is capped at 120 "
-                        "bits by the f32 exponent range (use the "
-                        "dedicated high-precision CRT path via -p on "
-                        "cpu for >120-bit contracts).")
+                        "O(n^3) products -- full --precision support "
+                        "(400-1024 bits and beyond), no caps.")
     # obsolete in the reference too (`SDPB_Parameters.cxx:22-73`);
     # accepted and ignored for compatibility
     p.add_argument("--procsPerNode", type=int, default=None,
@@ -83,6 +84,15 @@ def main(argv=None) -> int:
     # via the integer ops path, not the driver loop word arithmetic).
     import jax
 
+    if args.device == "auto":
+        # default to the TPU when a chip is present (`sdpb` is the
+        # flagship CLI of a TPU-native framework); CPU otherwise
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "cpu"
+        args.device = "tpu" if backend in ("tpu", "axon") else "cpu"
+
     word_dtype = "float64"
     if args.device == "cpu":
         # NB: must happen before any backend is touched; the solver's
@@ -91,22 +101,19 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     else:
-        # TPU: f32 words (the VPU's correctly-rounded type).  Running
-        # f64 words on the TPU emulation would silently corrupt the
-        # expansions, so the word dtype is forced, not optional.
+        # TPU: the base-2^9 limb MP format (f32 storage, integer
+        # semantics -- mp/limb.py) carries the FULL requested
+        # precision; the reference's stock contract (precision 400,
+        # initialMatrixScale 1e20, thresholds 1e-30,
+        # `Solver_Parameters.cxx:74-92`) runs unmodified.
         word_dtype = "float32"
-        if args.precision > 120:
-            print(f"sdpb: --device tpu caps --precision at 120 bits "
-                  f"(f32 exponent range); reducing {args.precision} -> 120",
-                  file=sys.stderr)
-            args.precision = 120
         try:
             backend = jax.default_backend()
         except RuntimeError:
             backend = "cpu"
         if backend not in ("tpu", "axon"):
             print("sdpb: no TPU backend registered; falling back to CPU "
-                  "(still f32 words - identical numerics)",
+                  "(still the limb format - identical numerics)",
                   file=sys.stderr)
             jax.config.update("jax_platforms", "cpu")
     cache = os.environ.get("SDPB_TPU_COMPILE_CACHE",
@@ -158,7 +165,7 @@ def main(argv=None) -> int:
 
     t_start = time.time()
     # decimal data is always parsed into f64 words first (exact); the
-    # f32-word path then converts exactly via raw_to_dtype
+    # limb path then converts exactly via raw_to_dtype
     k_read = params.n_words if word_dtype == "float64" else \
         max(2, -(-args.precision // 53)) + 1
     raw = read_sdp(sdp_dir, k=k_read)
@@ -188,7 +195,6 @@ def main(argv=None) -> int:
     host_problem = problem
     mesh_mod = None
     n_dev = len(jax.devices())
-    timing_costs = None
     if n_dev > 1:
         from jax.sharding import Mesh
 
@@ -198,28 +204,24 @@ def main(argv=None) -> int:
         import numpy as _np
 
         # Cost-based placement (`compute_block_grid_mapping.hxx`):
-        # measured block_timings if present, else a 2-iteration timing
-        # run (`sdpb/main.cxx:85-150`), else file sizes.
+        # block_timings from a previous run if present, else the flop
+        # model (NOT a measured pre-pass: within a shape bucket every
+        # block executes the same SPMD program, so a timing run can
+        # only ever measure bucket_time/nb -- uniform costs that LPT
+        # cannot improve on -- while costing two full unsharded
+        # iterations that may not even fit one device).
         costs = placement.read_block_costs(
-            ck_dir, sdp_dir, host_problem.num_blocks)
-        if not (ck_dir / "block_timings").exists() \
-                and host_problem.num_blocks > n_dev:
-            if args.verbosity >= 1:
-                print("timing run: measuring 2 iterations for "
-                      "block_timings")
-            timing_costs = placement.measure_block_costs(
-                host_problem, params, n_iterations=2)
-            placement.write_block_timings(ck_dir, host_problem,
-                                          timing_costs)
-            costs = placement.read_block_costs(
-                ck_dir, sdp_dir, host_problem.num_blocks)
+            ck_dir, sdp_dir, host_problem.num_blocks,
+            problem=host_problem)
         costs_by_bucket = [[costs[j] for j in bk.block_indices]
                            for bk in host_problem.buckets]
         mesh = Mesh(_np.array(jax.devices()), (mesh_mod.AXIS,))
         problem = mesh_mod.shard_problem(problem, mesh,
                                          costs=costs_by_bucket)
         if args.verbosity >= 1:
-            print(f"sharding blocks over {n_dev} devices")
+            loads = placement.bucket_loads(host_problem, costs, n_dev)
+            print(f"sharding blocks over {n_dev} devices "
+                  f"(imbalance {placement.imbalance(loads):.3f})")
     if args.verbosity >= 1:
         dims = sum(bk.nb * bk.shape.schur_size
                    for bk in host_problem.buckets)
@@ -296,30 +298,15 @@ def main(argv=None) -> int:
                       f"at {timers.max_mem_used_name}")
 
     def write_block_timings():
-        """ck/block_timings: per-block costs for the placement pass
-        (`write_timing.cxx`).  Measured costs (from the timing run)
-        when available; otherwise the flop model as a estimate for
-        single-device runs that never timed buckets separately."""
-        if timing_costs is not None:
-            from ..solver import placement
+        """ck/block_timings: per-block flop-model costs for the
+        placement pass (`write_timing.cxx` role; see
+        placement.flop_model_costs for why these are not measured)."""
+        from ..solver import placement
 
-            placement.write_block_timings(ck_dir, host_problem,
-                                          timing_costs)
-            return
         ck_dir.mkdir(parents=True, exist_ok=True)
-        costs = []
-        for bk in host_problem.buckets:
-            s = bk.shape.schur_size
-            he, ho = bk.shape.he, bk.shape.ho
-            m, pts = bk.shape.m, bk.shape.pts
-            cost = (s ** 3 + 2 * s * s * host_problem.dual_dim
-                    + 2 * (m * he) ** 3 + 2 * (m * ho) ** 3
-                    + 2 * (m * pts) * (m * he) ** 2
-                    + 2 * (m * pts) * (m * ho) ** 2)
-            costs.extend([(j, cost) for j in bk.block_indices])
-        costs.sort()
+        costs = placement.flop_model_costs(host_problem)
         (ck_dir / "block_timings").write_text(
-            "\n".join(str(int(c)) for _, c in costs) + "\n")
+            "\n".join(str(max(1, int(c))) for c in costs) + "\n")
 
     try:
         with timers.scoped("sdpb.solve"):

@@ -99,12 +99,13 @@ def shard_problem(problem: BucketedProblem, mesh: Mesh,
     bilinear bases (so their Schur complements stay PD) but have
     c = B = 0 and mask 0.
 
-    ``costs`` (per-bucket lists of per-block costs, e.g. from
-    `solver.placement.measure_block_costs` / `read_block_costs`)
-    triggers the reference's cost-based placement
+    ``costs`` (per-bucket lists of per-block costs, from
+    `solver.placement.read_block_costs` / `flop_model_costs`) triggers
+    the reference's cost-based placement
     (`compute_block_grid_mapping.hxx`): each bucket's block axis is
-    LPT-permuted so shard_map's contiguous per-device chunks carry
-    balanced total cost."""
+    LPT-assigned to devices, with every device's group padded to
+    exactly ceil(nb/n_dev) slots (phantoms included) so shard_map's
+    contiguous chunk boundaries coincide with the LPT bins."""
     from ..solver.placement import bucket_device_permutation
 
     n_dev = mesh.devices.size
@@ -117,25 +118,25 @@ def shard_problem(problem: BucketedProblem, mesh: Mesh,
     for bi_, bk in enumerate(problem.buckets):
         nb = bk.nb
         pad = (-nb) % n_dev
-        mask = np.concatenate([np.ones(nb), np.zeros(pad)])
-        perm = None
+        slots = None
         if costs is not None and nb > n_dev:
-            perm, _ = bucket_device_permutation(costs[bi_], n_dev)
-            if np.array_equal(perm, np.arange(nb)):
-                perm = None
-        perms.append(perm)
+            slots, _ = bucket_device_permutation(costs[bi_], n_dev)
+            if np.array_equal(slots[slots >= 0], np.arange(nb)):
+                slots = None
+        if slots is None:
+            slots = np.concatenate(
+                [np.arange(nb), np.full(pad, -1)]).astype(np.int64)
+        perms.append(slots)
+        mask = (slots >= 0).astype(np.float64)
 
         def pad_with(arr, template_zero: bool):
             arr = np.asarray(arr)
-            if perm is not None:
-                arr = arr[perm]
-            if pad == 0:
-                return arr
+            out = arr[np.where(slots >= 0, slots, 0)]
+            phantom = slots < 0
             if template_zero:
-                fill = np.zeros((pad, *arr.shape[1:]), arr.dtype)
-            else:
-                fill = np.repeat(arr[:1], pad, axis=0)
-            return np.concatenate([arr, fill])
+                out[phantom] = 0
+            # else: phantoms keep a copied real block (PD bases)
+            return out
 
         # NOTE: block_indices stays empty so every bucket of a given
         # BlockShape shares one compiled kernel (the kernels' shard_map
@@ -166,6 +167,8 @@ def shard_problem(problem: BucketedProblem, mesh: Mesh,
 
 
 def _perm_of(mproblem: MeshProblem, bi_: int):
+    """Per-bucket padded slot array (slots[i] = original block index at
+    padded position i, -1 for phantoms)."""
     return None if mproblem.perms is None else mproblem.perms[bi_]
 
 
@@ -178,14 +181,15 @@ def shard_state(state: BucketedState, mproblem: MeshProblem) -> BucketedState:
     sharded = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
 
-    def pad_copy(arr, nb, perm):
+    def pad_copy(arr, nb, slots):
         arr = np.asarray(arr)
-        if perm is not None:
-            arr = arr[perm]
-        pad = (-nb) % n_dev
-        if pad == 0:
-            return arr
-        return np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)])
+        if slots is None:
+            pad = (-nb) % n_dev
+            if pad == 0:
+                return arr
+            return np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)])
+        # phantom slots get a copy of a real block (PD, frozen by mask)
+        return arr[np.where(slots >= 0, slots, 0)]
 
     x, X, Y = [], [], []
     for bi_, mb in enumerate(mproblem.buckets):
@@ -206,15 +210,18 @@ def unshard_state(mstate: BucketedState, mproblem: MeshProblem
     checkpoints / solution output, which are in block-index order)."""
     x, X, Y = [], [], []
     for bi_, nb in enumerate(mproblem.n_valid):
-        perm = _perm_of(mproblem, bi_)
+        slots = _perm_of(mproblem, bi_)
         inv = None
-        if perm is not None:
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(nb)
+        if slots is not None:
+            inv = np.empty(nb, dtype=np.int64)
+            pos = np.nonzero(slots >= 0)[0]
+            inv[slots[pos]] = pos
 
         def take(arr):
-            arr = np.asarray(arr)[:nb]
-            return jnp.asarray(arr if inv is None else arr[inv])
+            arr = np.asarray(arr)
+            if inv is None:
+                return jnp.asarray(arr[:nb])
+            return jnp.asarray(arr[inv])
 
         x.append(take(mstate.x[bi_]))
         X.append(tuple(take(mstate.X[bi_][p]) for p in range(2)))

@@ -15,10 +15,18 @@ load-balancing concern reduces to (a) which blocks share a device when
 measured costs differ (LPT permutation of the bucket axis, applied by
 `parallel.mesh.shard_problem`), and (b) distributing heterogeneous
 work-items over host workers (pmp2sdp input files, spectrum blocks),
-which reuses the same LPT.  Costs are measured per bucket by timing the
-per-bucket kernels of a real iteration (first iteration discarded:
-cold-start zeros are artificially fast, exactly the reference's note in
-`sdpb/main.cxx`), divided per block.
+which reuses the same LPT.
+
+Why there is NO measured timing run here (unlike `sdpb/main.cxx:85-150`):
+within a shape bucket every block executes the same compiled SPMD
+program, so a measurement can only produce bucket_time/nb -- uniform
+per-block costs that the LPT permutation cannot improve on -- while the
+reference-style 2-iteration pre-pass runs the whole problem unsharded
+on one device (an OOM hazard for exactly the problems that need
+sharding).  Per-block costs therefore come from the flop model
+(`flop_model_costs`), which distinguishes buckets exactly as well as a
+measurement would, or from `ck/block_timings` written by a previous
+run.
 """
 
 from __future__ import annotations
@@ -71,31 +79,37 @@ def bucket_device_permutation(costs, n_devices: int):
     """Permutation of one bucket's block axis so that shard_map's
     contiguous per-device chunks are LPT-balanced.
 
-    ``costs``: per-block measured costs (length nb).  The bucket is
-    padded to ceil(nb/n_dev)*n_dev by the mesh layer; each device takes
-    one contiguous chunk of the permuted axis.  Phantom padding slots
-    count as zero cost and land on the most loaded devices' chunks
-    automatically (fewest real blocks).  Returns (perm, loads):
-    ``perm[i]`` = original block position placed at padded slot i is
-    NOT produced here -- this returns the order of original block
-    positions (length nb) grouped by device."""
+    ``costs``: per-block costs (length nb).  The mesh layer pads the
+    bucket to per_dev = ceil(nb/n_dev) blocks per device; each device
+    takes one contiguous chunk of the permuted-then-padded axis.  The
+    returned order is grouped by device WITH each device's group padded
+    to exactly per_dev slots (-1 = phantom), so chunk boundaries always
+    coincide with LPT bins -- without the explicit padding, an
+    under-filled early bin would shift every later chunk boundary and
+    the realized loads could be worse than unpermuted.  Returns
+    (slots int array of length per_dev*n_devices with -1 phantoms,
+    loads)."""
     costs = np.asarray(costs, dtype=np.float64)
     nb = len(costs)
     per_dev = -(-nb // n_devices)
     bin_of, loads = lpt_assign(costs, n_devices, capacity=per_dev)
-    perm = np.concatenate([np.nonzero(bin_of == d)[0]
-                           for d in range(n_devices)])
-    return perm.astype(np.int64), loads
+    slots = np.full(per_dev * n_devices, -1, dtype=np.int64)
+    for d in range(n_devices):
+        mine = np.nonzero(bin_of == d)[0]
+        slots[d * per_dev : d * per_dev + len(mine)] = mine
+    return slots, loads
 
 
 # ---------------------------------------------------------------------------
 # Cost IO (`read_block_costs.cxx`, `write_timing.cxx`)
 # ---------------------------------------------------------------------------
 
-def read_block_costs(ck_dir, sdp_dir, num_blocks: int):
+def read_block_costs(ck_dir, sdp_dir, num_blocks: int, problem=None):
     """Per-block costs: `ck/block_timings` if present (one integer per
-    line, block order), else block_data file sizes, else uniform
-    (`Block_Info/read_block_costs.cxx:13` fallback chain)."""
+    line, block order), else the flop model when ``problem`` is given,
+    else block_data file sizes, else uniform
+    (`Block_Info/read_block_costs.cxx:13` fallback chain, with the
+    flop model replacing the measured run -- see module docstring)."""
     ck_dir = pathlib.Path(ck_dir) if ck_dir else None
     if ck_dir is not None:
         f = ck_dir / "block_timings"
@@ -103,6 +117,8 @@ def read_block_costs(ck_dir, sdp_dir, num_blocks: int):
             vals = [int(line) for line in f.read_text().split()]
             if len(vals) == num_blocks:
                 return np.asarray(vals, dtype=np.float64)
+    if problem is not None:
+        return flop_model_costs(problem)
     sdp_dir = pathlib.Path(sdp_dir) if sdp_dir else None
     if sdp_dir is not None and sdp_dir.is_dir():
         sizes = []
@@ -136,83 +152,42 @@ def write_block_timings(ck_dir, problem, costs) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Measured timing run (`sdpb/main.cxx:85-150`)
+# Flop-model costs (replacing the reference's measured timing run; see
+# module docstring)
 # ---------------------------------------------------------------------------
 
-def measure_block_costs(problem, params, n_iterations: int = 2):
-    """Run ``n_iterations`` real interior-point iterations timing each
-    bucket's kernels synchronously; return per-bucket lists of
-    per-block costs (seconds).  The last iteration's times are used
-    (iteration 1 is discarded: X = Omega I and x = 0 make the first
-    pass artificially regular, the reference discards it for the same
-    reason).  Blocks within a bucket share one SPMD kernel, so their
-    measured cost is the bucket time divided evenly -- which is also
-    the truth: identical shapes execute identical programs."""
-    import jax
+def flop_model_cost_of(shape, dual_dim: int) -> float:
+    """Per-block cost model: the per-iteration O(n^3) terms of one
+    block -- S Cholesky/Trsm, bilinear pairings, XY products
+    (`run.cxx` phase structure)."""
+    s_ = shape.schur_size
+    he, ho = shape.he, shape.ho
+    m, pts = shape.m, shape.pts
+    return float(s_ ** 3 + 2 * s_ * s_ * dual_dim
+                 + 2 * (m * he) ** 3 + 2 * (m * ho) ** 3
+                 + 2 * (m * pts) * (m * he) ** 2
+                 + 2 * (m * pts) * (m * ho) ** 2)
 
-    from . import bucket_iteration as bi
-    from .data import initial_bucketed_state
 
-    state = initial_bucketed_state(
-        problem, float(params.initial_matrix_scale_primal),
-        float(params.initial_matrix_scale_dual))
+def flop_model_costs(problem):
+    """Per-block costs in block-index order for a BucketedProblem."""
+    num_blocks = problem.num_blocks
+    costs = np.zeros(num_blocks, dtype=np.float64)
+    for bk in problem.buckets:
+        c = flop_model_cost_of(bk.shape, problem.dual_dim)
+        for j in bk.block_indices:
+            costs[j] = c
+    return costs
 
-    bucket_times = None
-    for _ in range(max(1, n_iterations)):
-        bucket_times = [0.0] * len(problem.buckets)
 
-        def timed(bi_, fn, *args):
-            t0 = time.time()
-            out = fn(*args)
-            jax.block_until_ready(out)
-            bucket_times[bi_] += time.time() - t0
-            return out
-
-        # residues phase, per bucket
-        parts = []
-        for i, bk in enumerate(problem.buckets):
-            parts.append(timed(i, bi._residues_bucket, bk, state.x[i],
-                               tuple(state.X[i]), tuple(state.Y[i]),
-                               state.y))
-        (primal_objective, dual_objective, duality_gap, dual_error,
-         primal_error_P, primal_error_p, primal_res_p) = \
-            bi._residues_combine(
-                problem.objective_const, problem.b, state.y,
-                tuple(p[8] for p in parts), tuple(p[9] for p in parts),
-                tuple(p[6] for p in parts), tuple(p[7] for p in parts))
-        res = bi.Residues(primal_objective, dual_objective, duality_gap,
-                          dual_error, primal_error_P, primal_error_p,
-                          [p[0] for p in parts], [p[1] for p in parts],
-                          [p[2] for p in parts], [p[3] for p in parts],
-                          [p[4] for p in parts], [p[5] for p in parts],
-                          primal_res_p)
-        # Schur factorization, per bucket (the Q restore/Cholesky is
-        # global; charge it to no bucket)
-        plan = bi.q_plan(problem)
-        k = problem.b.shape[-1]
-        L_S, LinvB, e_cols, fins = [], [], [], []
-        import jax.numpy as jnp
-        for i, bk in enumerate(problem.buckets):
-            ls, lb = timed(i, bi._schur_chol_bucket, bk, res.ax[i],
-                           res.ay[i])
-            L_S.append(ls)
-            LinvB.append(lb)
-            e, f = bi._col_exponents(lb)
-            e_cols.append(e)
-            fins.append(f)
-        e_col, fin = e_cols[0], fins[0]
-        for e, f in zip(e_cols[1:], fins[1:]):
-            e_col = jnp.maximum(e_col, e)
-            fin = fin & f
-        q_sum = None
-        for i in range(len(problem.buckets)):
-            q_res = timed(i, bi._q_residues_bucket, LinvB[i], e_col, plan)
-            q_sum = q_res if q_sum is None else q_sum + q_res
-        bi._q_restore_cholesky(q_sum, e_col, fin, plan, k, problem.b)
-
-        # one full step advances the state so iteration 2 is warm
-        state, _info = bi.compute_step(problem, state, res, params, False)
-        jax.block_until_ready(state.y)
-
-    return [[bucket_times[i] / bk.nb] * bk.nb
-            for i, bk in enumerate(problem.buckets)]
+def bucket_loads(problem, costs, n_devices: int):
+    """Realized per-device loads of the bucketed SPMD sharding: every
+    bucket pads to ceil(nb/n_dev) blocks per device, so each device
+    carries that many block-programs of the bucket's cost (phantoms
+    cost the same as real blocks -- the honest number)."""
+    loads = np.zeros(n_devices, dtype=np.float64)
+    for bk in problem.buckets:
+        per_dev = -(-bk.nb // n_devices) if bk.nb else 0
+        c = flop_model_cost_of(bk.shape, problem.dual_dim)
+        loads += per_dev * c
+    return loads

@@ -1,6 +1,8 @@
-"""Cost-based block placement + timing run (reference:
+"""Cost-based block placement (reference:
 `compute_block_grid_mapping.hxx`, `LPT_scheduling.hxx`,
-`read_block_costs.cxx`, `sdpb/main.cxx:85-150`)."""
+`read_block_costs.cxx`; the measured timing run of
+`sdpb/main.cxx:85-150` is replaced by the flop model -- see
+solver/placement.py module docstring)."""
 
 import numpy as np
 import pytest
@@ -33,20 +35,30 @@ def test_bucket_permutation_balances_chunks():
     """shard_map chunks are contiguous; the LPT permutation must make
     per-device chunk sums balanced (<10%, the reference's bar)."""
     rng = np.random.default_rng(1)
+
+    def chunk_sums(costs, slots, n_dev):
+        per_dev = len(slots) // n_dev
+        return [sum(costs[j] for j in
+                    slots[d * per_dev:(d + 1) * per_dev] if j >= 0)
+                for d in range(n_dev)]
+
     costs = rng.uniform(1.0, 10.0, size=40)
     n_dev = 8
-    perm, _ = bucket_device_permutation(costs, n_dev)
-    assert sorted(perm) == list(range(40))
-    per_dev = -(-40 // n_dev)
-    chunks = [costs[perm[d * per_dev:(d + 1) * per_dev]].sum()
-              for d in range(n_dev)]
-    assert imbalance(chunks) < 0.10
-    # unpermuted contiguous chunks of sorted-ish adversarial costs
+    slots, _ = bucket_device_permutation(costs, n_dev)
+    assert sorted(s for s in slots if s >= 0) == list(range(40))
+    assert imbalance(chunk_sums(costs, slots, n_dev)) < 0.10
+    # adversarial: sorted-descending costs
     adv = np.sort(costs)[::-1]
-    perm2, _ = bucket_device_permutation(adv, n_dev)
-    chunks2 = [adv[perm2[d * per_dev:(d + 1) * per_dev]].sum()
-               for d in range(n_dev)]
-    assert imbalance(chunks2) < 0.10
+    slots2, _ = bucket_device_permutation(adv, n_dev)
+    assert imbalance(chunk_sums(adv, slots2, n_dev)) < 0.10
+    # nb % n_dev != 0: chunk boundaries must still respect LPT bins
+    # (the pre-fix failure mode: costs [10,1,1,1,1] on 2 devices gave
+    # bin0 two items but the chunk cut after three)
+    c5 = np.asarray([10.0, 1, 1, 1, 1])
+    slots3, loads3 = bucket_device_permutation(c5, 2)
+    assert len(slots3) == 6 and (slots3 < 0).sum() == 1
+    assert imbalance(chunk_sums(c5, slots3, 2)) == pytest.approx(
+        imbalance(loads3))
 
 
 def test_read_block_costs_chain(tmp_path):
@@ -83,24 +95,30 @@ def test_write_block_timings_roundtrip(tmp_path):
     assert list(costs) == [500000, 125000, 250000]
 
 
-def test_measured_timing_run_1d():
-    """The 2-iteration timing run produces positive per-block costs
-    and leaves the 1d problem solvable (`sdpb/main.cxx:85-150`)."""
+def test_flop_model_costs_1d():
+    """Flop-model costs are positive, per-block, and distinguish
+    buckets by shape (replacing the measured run; a measurement can
+    only ever produce bucket_time/nb, uniform within a bucket)."""
     from sdpb_tpu.io.sdp_json import read_sdp
-    from sdpb_tpu.solver import SolverParams, problem_from_raw
+    from sdpb_tpu.solver import problem_from_raw
     from sdpb_tpu.solver.data import bucketize
-    from sdpb_tpu.solver.placement import measure_block_costs
+    from sdpb_tpu.solver.placement import (bucket_loads,
+                                           flop_model_costs)
 
-    params = SolverParams(precision=159)
     raw = read_sdp(
         "/root/reference/test/data/end-to-end_tests/1d/output/sdp",
-        k=params.n_words)
+        k=3)
     problem = bucketize(problem_from_raw(raw))
-    costs = measure_block_costs(problem, params, n_iterations=2)
-    assert len(costs) == len(problem.buckets)
-    for bi, bk in enumerate(problem.buckets):
-        assert len(costs[bi]) == bk.nb
-        assert all(c > 0 for c in costs[bi])
+    costs = flop_model_costs(problem)
+    assert len(costs) == problem.num_blocks
+    assert (costs > 0).all()
+    # read_block_costs prefers the flop model when a problem is given
+    from sdpb_tpu.solver.placement import read_block_costs
+
+    assert (read_block_costs(None, None, problem.num_blocks,
+                             problem=problem) == costs).all()
+    loads = bucket_loads(problem, costs, 4)
+    assert loads.shape == (4,) and (loads > 0).all()
 
 
 def test_mesh_permutation_roundtrip(tmp_path):
