@@ -1,20 +1,27 @@
-"""Headline benchmark: interior-point solver iterations/s on TPU.
+"""Headline benchmark: interior-point solver iterations/s on TPU at the
+reference's PRODUCTION contract.
 
 Times the FULL production iteration (residues -> Schur/Q via the exact
 int8-MXU CRT pipeline -> predictor/corrector -> step) of the bucketed
-f32-word solver on a production-scale synthetic SDP, and compares
-against the identical code on all cores of this host CPU.  This is the
-metric the reference optimizes (its v3.0.0 bigint_syrk rewrite bought
->=2.5x on exactly this loop, `Changelog.md:65-73`) measured the way the
-reference measures it (iterations of `SDP_Solver::run`).
+solver at 400-bit precision with the stock initialMatrixScale=1e20 cold
+start (`Solver_Parameters.cxx:74-92`) -- the configuration the
+reference actually ships -- and compares against the identical code on
+all cores of this host CPU.  This is the metric the reference
+optimizes (its v3.0.0 bigint_syrk rewrite bought >=2.5x on exactly
+this loop, `Changelog.md:65-73`), measured the way the reference
+measures it (iterations of `SDP_Solver::run`).
 
-Workload: 2 shape-buckets, 64 PMP blocks, Schur sizes 96/240,
-N = 384 dual dimension, 110-bit (5-word f32) arithmetic - an
-nmax-scaled bootstrap shape (the bundled nmax6 regression is J=11,
-pts<=31, N=20; this is ~8x that in every dimension).
+The TPU word format is the base-2^9 limb MP of mp/limb.py (precision
+unbounded; the r03-era f32-expansion path was capped at 120 bits and
+could not represent this contract at all).
+
+Workload: 2 shape-buckets, 64 PMP blocks, Schur sizes 96/240, N = 384
+dual dimension -- an nmax-scaled bootstrap shape (the bundled nmax6
+regression is J=11, pts<=31, N=20; this is ~8x that in every
+dimension).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
-diagnostic lines (per-phase split, int8 MFU estimate) go to stderr.
+diagnostics (per-phase split, int8 MFU estimate) go to stderr.
 """
 
 import json
@@ -23,7 +30,7 @@ import subprocess
 import sys
 import time
 
-K_WORDS = 5          # 110-bit f32 words
+PRECISION = 400      # bits -- the reference's default --precision
 N_DUAL = 384
 BUCKETS = [          # (nb, m, pts)
     (48, 2, 32),
@@ -32,21 +39,21 @@ BUCKETS = [          # (nb, m, pts)
 REPS = 3
 
 
-def build_problem():
+def build_problem(params):
     import jax.numpy as jnp
     import numpy as np
 
+    from sdpb_tpu.mp import limb
     from sdpb_tpu.solver.data import (BucketedProblem, SDPBucket,
                                       block_shape_of, build_u,
                                       initial_bucketed_state)
 
     rng = np.random.default_rng(0)
+    k = params.n_words
 
     def mp_w(x):
-        x = np.asarray(x, dtype=np.float32)
-        out = np.zeros(x.shape + (K_WORDS,), np.float32)
-        out[..., 0] = x
-        return out
+        return limb.from_words_np(
+            np.asarray(x, dtype=np.float64)[..., None], k)
 
     buckets = []
     j0 = 0
@@ -72,8 +79,58 @@ def build_problem():
         b=jnp.asarray(mp_w(rng.standard_normal(N_DUAL))),
         buckets=buckets,
     )
-    state = initial_bucketed_state(problem, 100.0, 100.0)
+    # stock cold start: X = Y = 1e20 * I (mu_0 = 1e40)
+    state = initial_bucketed_state(
+        problem, float(params.initial_matrix_scale_primal),
+        float(params.initial_matrix_scale_dual))
     return problem, state
+
+
+def timed_iteration(problem, state, params, phases):
+    """One full iteration with a per-phase wall-clock split (mirrors
+    bucket_iteration._compute_step_fused; each phase synchronized)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sdpb_tpu.mp import core as mp
+    from sdpb_tpu.solver import bucket_iteration as bi
+
+    def tick(name, fn, *args, **kw):
+        t0 = time.time()
+        out = fn(*args, **kw)
+        jax.block_until_ready(out)
+        phases[name] = phases.get(name, 0.0) + time.time() - t0
+        return out
+
+    dtype = problem.b.dtype
+    k = problem.b.shape[-1]
+    plan = bi.q_plan(problem)
+
+    res = tick("residues", bi.compute_residues, problem, state)
+    L_S, LinvB, L_Q = tick("schur_Q", bi._schur_all, problem, res,
+                           plan, None)
+    minus_XY, mu, R_error, term = tick(
+        "XY_mu", bi._xy_all, problem, state,
+        np.asarray(params.max_complementarity_mp(dtype)))
+    beta_pred = jnp.asarray(params.predictor_beta(False, k, dtype))
+    dx, dX, dy, dY = tick(
+        "predictor", bi._search_all, problem, state, res, minus_XY,
+        L_S, LinvB, L_Q, mp.mul(beta_pred, mu),
+        bi.zeros_like_XY(problem, state))
+    beta_c, dXdY = tick(
+        "beta_pairs", bi._beta_pairs_all, problem, state, dX, dY, mu,
+        jnp.asarray(False),
+        np.asarray(params.feasible_centering_mp(dtype)),
+        np.asarray(params.infeasible_centering_mp(dtype)))
+    dx, dX, dy, dY = tick(
+        "corrector", bi._search_all, problem, state, res, minus_XY,
+        L_S, LinvB, L_Q, mp.mul(beta_c, mu), dXdY)
+    out = tick("steplen_update", bi._finish_all, problem, state, res,
+               L_S, L_Q, dx, dX, dy, dY, jnp.asarray(False), 0.7)
+    new_state = out[0]
+    assert np.isfinite(float(np.asarray(out[1]))), "primal step"
+    return new_state
 
 
 def run_once(reps):
@@ -93,47 +150,39 @@ def run_once(reps):
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from sdpb_tpu.solver import bucket_iteration as bi
     from sdpb_tpu.solver.params import SolverParams
 
-    params = SolverParams(precision=110, word_dtype="float32",
-                          initial_matrix_scale_primal="1e2",
-                          initial_matrix_scale_dual="1e2")
-    problem, state = build_problem()
+    params = SolverParams(precision=PRECISION, word_dtype="float32")
+    problem, state = build_problem(params)
 
-    def iteration(st):
-        res = bi.compute_residues(problem, st)
-        new_state, info = bi.compute_step(problem, st, res, params, False)
-        # force full completion through the tunnel: fetch scalars
-        assert np.isfinite(float(np.asarray(info.primal_step)))
-        float(np.asarray(new_state.y[0, 0]))
-        return new_state
-
-    state = iteration(state)      # warmup/compile (also advances state)
+    phases = {}
+    state = timed_iteration(problem, state, params, {})  # warmup/compile
     times = []
     for _ in range(reps):
         t0 = time.time()
-        state = iteration(state)
+        state = timed_iteration(problem, state, params, phases)
         times.append(time.time() - t0)
+    for k_ in phases:
+        phases[k_] /= reps
     times.sort()
-    return times[len(times) // 2], jax.default_backend()
+    return times[len(times) // 2], jax.default_backend(), phases
 
 
-def _syrk_mfu(dt_iter):
-    """stderr diagnostic: int8 MAC throughput of the Q syrk inside one
-    iteration vs the chip's int8 peak (v5e ~394 TOPS)."""
+def _syrk_mfu(params_k):
+    """stderr diagnostic: int8 MACs of the Q syrk inside one
+    iteration (v5e int8 peak ~394 TOPS)."""
     from sdpb_tpu.ops import mpmm
     from sdpb_tpu.solver.data import block_shape_of
 
     rows = sum(nb * block_shape_of(m, pts).schur_size
                for nb, m, pts in BUCKETS)
-    plan = mpmm.plan_for(24 * K_WORDS, rows)
+    plan = mpmm.plan_for(PRECISION + 16, rows)
     macs = 3 * plan.n_primes * rows * N_DUAL * N_DUAL
     return macs, plan.n_primes
 
 
 def main():
-    dt, backend = run_once(REPS)
+    dt, backend, phases = run_once(REPS)
     its = 1.0 / dt
 
     vs = 0.0
@@ -141,12 +190,13 @@ def main():
     try:
         code = (
             "import sys; sys.path.insert(0, %r); "
-            "import bench; dt,_ = bench.run_once(2); print('RES', dt)"
+            "import bench; dt,_,ph = bench.run_once(2); print('RES', dt); "
+            "print('PH', __import__('json').dumps(ph))"
             % os.path.dirname(os.path.abspath(__file__))
         )
         env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
         out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=3000)
+                             capture_output=True, text=True, timeout=5400)
         for line in out.stdout.splitlines():
             if line.startswith("RES "):
                 cpu_dt = float(line.split()[1])
@@ -154,15 +204,20 @@ def main():
     except Exception:
         vs = 0.0
 
-    macs, n_primes = _syrk_mfu(dt)
-    print(f"[bench] backend={backend} iter={dt*1e3:.0f} ms "
-          f"cpu_iter={'%.0f ms' % (cpu_dt*1e3) if cpu_dt else 'n/a'}; "
-          f"Q syrk: {n_primes} primes, {macs/1e9:.1f} G int8-MACs/iter "
-          f"(~{macs/dt/394e12*100:.2f}% of v5e int8 peak if Q were the "
-          f"whole iteration)", file=sys.stderr)
+    macs, n_primes = _syrk_mfu(None)
+    split = " ".join(f"{k_}={v*1e3:.0f}ms" for k_, v in
+                     sorted(phases.items(), key=lambda kv: -kv[1]))
+    print(f"[bench] backend={backend} 400-bit stock-contract iter="
+          f"{dt*1e3:.0f} ms "
+          f"cpu_iter={'%.0f ms' % (cpu_dt*1e3) if cpu_dt else 'n/a'}",
+          file=sys.stderr)
+    print(f"[bench] phase split: {split}", file=sys.stderr)
+    print(f"[bench] Q syrk: {n_primes} primes, {macs/1e9:.1f} G "
+          f"int8-MACs/iter (~{macs/dt/394e12*100:.2f}% of v5e int8 peak "
+          f"if Q were the whole iteration)", file=sys.stderr)
     print(json.dumps({
-        "metric": f"solver_iters_per_s_110bit_{backend}",
-        "value": round(its, 3),
+        "metric": f"solver_iters_per_s_400bit_{backend}",
+        "value": round(its, 4),
         "unit": "iterations/s",
         "vs_baseline": round(vs, 2),
     }))

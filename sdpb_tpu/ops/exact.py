@@ -368,6 +368,33 @@ def syrk_residues_split(r_split, plan: CrtPlan):
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))
+def syrk_diag_residues_split(r_split, plan: CrtPlan):
+    """Independently computed per-prime DIAGONAL of A^T A (elementwise
+    squares summed over rows): (rh, rl) int8 (n, m, n_primes) ->
+    (n_primes, m) int32 in [0, p).
+
+    This is the runtime data-corruption invariant mirroring the
+    reference's `check_normalized_Q_diagonal` (`compute_Q.cxx:66-92`,
+    which verifies Q_ii = 2^2N after restore): the solver compares it
+    against the diagonal of the MXU SYRK's residues after the
+    cross-chip reduction, and poisons Q on mismatch.  O(n m P)
+    elementwise work vs the SYRK's O(n m^2 P) matmuls."""
+    rh, rl = r_split
+    h = rh.astype(jnp.int32)
+    l = rl.astype(jnp.int32)
+    s2 = jnp.sum(h * h, axis=0)                   # (m, P)
+    s0 = jnp.sum(l * l, axis=0)
+    s1 = jnp.sum(2 * h * l, axis=0)
+    pp, inv, pow16 = _mod_tables(plan.primes)
+    p2, inv2, pw2 = (v[None, :] for v in (pp, inv, pow16))
+    q = (_mod_p(s2, p2, inv2, pw2) * (1 << 14)
+         + _mod_p(s1, p2, inv2, pw2) * (1 << 7)
+         + _mod_p(s0, p2, inv2, pw2))
+    out = _mod_p(q, p2, inv2, pw2)                # (m, P)
+    return jnp.moveaxis(out, 0, 1)                # (P, m)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
 def gemm_residues_split(a_split, b_split, plan: CrtPlan):
     """Per-prime exact A^T B from balanced split residues
     (ah, al) int8 (n, ma, n_primes), (bh, bl) (n, mb, n_primes)

@@ -290,11 +290,13 @@ def gemm_mp_batched(a_mp, b_mp, plan: CrtPlan, k_out: int | None = None):
 
 
 def reduce_residues_mod(q_res_sum, plan: CrtPlan):
-    """Re-reduce a SUM of per-prime residue matrices into [0, p).
-    Summands are each in [0, p); up to ~2^18 of them fit int32."""
+    """Re-reduce a SUM of per-prime residue arrays (leading prime axis,
+    any trailing shape) into [0, p).  Summands are each in [0, p); up
+    to ~2^18 of them fit int32."""
     pp, inv, pow16 = exact._mod_tables(plan.primes)
-    return exact._mod_p(q_res_sum, pp[:, None, None], inv[:, None, None],
-                        pow16[:, None, None])
+    shape = (-1,) + (1,) * (q_res_sum.ndim - 1)
+    return exact._mod_p(q_res_sum, pp.reshape(shape), inv.reshape(shape),
+                        pow16.reshape(shape))
 
 
 @functools.lru_cache(maxsize=None)

@@ -360,12 +360,19 @@ def _q_residues_kernel(mesh, shape, plan):
     r = P()
 
     def fn(lbm, e_col):
-        nb, schur, n, k = lbm.shape
-        q_res, _ = mpmm.syrk_residues_mp(
-            lbm.reshape(nb * schur, n, k), plan, e_col=e_col)
-        return jax.lax.psum(q_res, AXIS)
+        from ..ops import exact
 
-    return _sharded(mesh, fn, in_specs=(s, r), out_specs=r)
+        nb, schur, n, k = lbm.shape
+        x = lbm.reshape(nb * schur, n, k)
+        u = mpmm.scale_pow2(x, -e_col[None, :])
+        d = mpmm.digits_dev(u, plan)
+        r_split = exact.residues_split(d, plan)
+        q_res = exact.syrk_residues_split(r_split, plan)
+        diag_res = exact.syrk_diag_residues_split(r_split, plan)
+        # ONE fused int32 psum for both (exact integer reduction)
+        return (jax.lax.psum(q_res, AXIS), jax.lax.psum(diag_res, AXIS))
+
+    return _sharded(mesh, fn, in_specs=(s, r), out_specs=(r, r))
 
 
 @functools.lru_cache(maxsize=None)
@@ -440,12 +447,16 @@ def schur_factorize(problem: MeshProblem, res):
         l_sh = kern(q_sum, e_col, fin > 0)
         return L_S, LinvB, DistLQ(l_sharded=l_sh, mesh=problem.mesh,
                                   n=problem.dual_dim)
-    q_sum = None
+    q_sum = d_sum = None
     for i, mb in enumerate(problem.buckets):
-        q_res = _q_residues_kernel(problem.mesh, mb.shape, plan)(
+        q_res, d_res = _q_residues_kernel(problem.mesh, mb.shape, plan)(
             lbms[i], e_col)
-        q_sum = q_res if q_sum is None else q_sum + q_res
-    L_Q = bi._q_restore_cholesky(q_sum, e_col, fin > 0, plan, k, problem.b)
+        if q_sum is None:
+            q_sum, d_sum = q_res, d_res
+        else:
+            q_sum, d_sum = q_sum + q_res, d_sum + d_res
+    L_Q = bi._q_restore_cholesky(q_sum, e_col, fin > 0, plan, k,
+                                 problem.b, d_sum)
     return L_S, LinvB, L_Q
 
 

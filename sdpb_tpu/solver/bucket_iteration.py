@@ -200,20 +200,37 @@ def _col_exponents(lb):
 
 @functools.partial(jax.jit, static_argnames=("plan",))
 def _q_residues_bucket(lb, e_col, plan):
-    from ..ops import mpmm
+    """Per-prime Q residues of one bucket PLUS the independently
+    computed diagonal residues (the corruption invariant,
+    `compute_Q.cxx:66-92` role -- see exact.syrk_diag_residues_split)."""
+    from ..ops import exact, mpmm
 
     nb, schur, n, k = lb.shape
-    q_res, _ = mpmm.syrk_residues_mp(
-        lb.reshape(nb * schur, n, k), plan, e_col=e_col)
-    return q_res
+    x = lb.reshape(nb * schur, n, k)
+    u = mpmm.scale_pow2(x, -e_col[None, :])
+    d = mpmm.digits_dev(u, plan)
+    r_split = exact.residues_split(d, plan)
+    q_res = exact.syrk_residues_split(r_split, plan)
+    diag_res = exact.syrk_diag_residues_split(r_split, plan)
+    return q_res, diag_res
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "k"))
-def _q_restore_cholesky(q_sum, e_col, finite, plan, k: int, dtype_ref):
+def _q_restore_cholesky(q_sum, e_col, finite, plan, k: int, dtype_ref,
+                        diag_sum=None):
     from ..ops import mpmm
 
     q_sum = mpmm.reduce_residues_mod(q_sum, plan)
     Q = mpmm.restore_q_mp(q_sum, e_col, plan, k, dtype_ref.dtype)
+    if diag_sum is not None:
+        # corruption invariant: the SYRK's reduced diagonal residues
+        # must equal the independently summed squares
+        # (`compute_Q.cxx:66-92`); mismatch poisons Q -> the driver
+        # surfaces NonFiniteIterateError
+        n = q_sum.shape[-1]
+        dg = jnp.diagonal(q_sum, axis1=-2, axis2=-1)      # (P, N)
+        want = mpmm.reduce_residues_mod(diag_sum, plan)
+        finite = finite & jnp.all(dg == want)
     Q = jnp.where(finite, Q, jnp.asarray(jnp.nan, Q.dtype))
     return la.cholesky(Q)
 
@@ -262,7 +279,7 @@ def schur_factorize(problem: BucketedProblem, res: Residues,
     for e, f in zip(e_cols[1:], finites[1:]):
         e_col = jnp.maximum(e_col, e)
         finite = finite & f
-    q_sum = None
+    q_sum = d_sum = None
     for bi, bk in enumerate(problem.buckets):
         if chunk is None or bk.nb <= chunk:
             parts = [LinvB[bi]]
@@ -270,9 +287,13 @@ def schur_factorize(problem: BucketedProblem, res: Residues,
             parts = [LinvB[bi][j:j + chunk]
                      for j in range(0, bk.nb, chunk)]
         for part in parts:
-            q_res = _q_residues_bucket(part, e_col, plan)
-            q_sum = q_res if q_sum is None else q_sum + q_res
-    L_Q = _q_restore_cholesky(q_sum, e_col, finite, plan, k, problem.b)
+            q_res, d_res = _q_residues_bucket(part, e_col, plan)
+            if q_sum is None:
+                q_sum, d_sum = q_res, d_res
+            else:
+                q_sum, d_sum = q_sum + q_res, d_sum + d_res
+    L_Q = _q_restore_cholesky(q_sum, e_col, finite, plan, k, problem.b,
+                              d_sum)
     return L_S, LinvB, L_Q
 
 
@@ -618,7 +639,7 @@ def _schur_all(problem, res, plan, max_q_chunk):
     for e, f in zip(e_cols[1:], fins[1:]):
         e_col = jnp.maximum(e_col, e)
         finite = finite & f
-    q_sum = None
+    q_sum = d_sum = None
     for bi, bk in enumerate(problem.buckets):
         if max_q_chunk is None or bk.nb <= max_q_chunk:
             parts = [LinvB[bi]]
@@ -626,10 +647,14 @@ def _schur_all(problem, res, plan, max_q_chunk):
             parts = [LinvB[bi][j:j + max_q_chunk]
                      for j in range(0, bk.nb, max_q_chunk)]
         for part in parts:
-            q_res = _q_residues_bucket.__wrapped__(part, e_col, plan)
-            q_sum = q_res if q_sum is None else q_sum + q_res
+            q_res, d_res = _q_residues_bucket.__wrapped__(part, e_col,
+                                                          plan)
+            if q_sum is None:
+                q_sum, d_sum = q_res, d_res
+            else:
+                q_sum, d_sum = q_sum + q_res, d_sum + d_res
     L_Q = _q_restore_cholesky.__wrapped__(q_sum, e_col, finite, plan, k,
-                                          problem.b)
+                                          problem.b, d_sum)
     return L_S, LinvB, L_Q
 
 
