@@ -441,12 +441,21 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     ea, la = _split(a)
     eb, lb = _split(b)
     n_out = L + G
-    acc = jnp.zeros(la.shape[:-1] + (n_out,), la.dtype)
     zpad = jnp.zeros(la.shape[:-1] + (G,), la.dtype)
     lbp = jnp.concatenate([lb, zpad], axis=-1)          # (..., L+G)
-    for i in range(L):
-        contrib = la[..., i : i + 1] * lbp[..., : n_out - i]
-        acc = _offset_add(acc, contrib, i)
+    # Horner-scan convolution: acc <- shift_right(acc) + la_i * lbp,
+    # i from L-1 down to 0, places la_i's products at offset i.  A
+    # lax.scan keeps ONE accumulator live (a static L-step loop makes
+    # XLA hold O(L) partial buffers -- OOM at production shapes).
+    la_t = jnp.moveaxis(la, -1, 0)                      # (L, ...)
+
+    def step(acc, lai):
+        acc = jnp.concatenate(
+            [jnp.zeros_like(acc[..., :1]), acc[..., :-1]], axis=-1)
+        return acc + lai[..., None] * lbp, None
+
+    acc0 = jnp.zeros(la.shape[:-1] + (n_out,), la.dtype)
+    acc, _ = jax.lax.scan(step, acc0, la_t, reverse=True)
     ext = _heads(acc, 2)
     out = _renorm(ea + eb + 2, ext, L, passes=3)
     nan = ~(jnp.isfinite(a[..., 0]) & jnp.isfinite(b[..., 0]))

@@ -119,12 +119,18 @@ def syrk(a: MPArray, transpose: bool = True) -> MPArray:
 
 
 def matvec(a: MPArray, x: MPArray, transpose: bool = False) -> MPArray:
-    """(n, m, K) @ (m, K) -> (n, K)."""
+    """(..., n, m, K) @ (m, K) -> (..., n, K).
+
+    Routed through `matmul` with a width-1 right operand: the chunked
+    contraction bounds peak memory (a direct elementwise product of
+    the full (..., n, m, K+2) conv tensor OOMs at production shapes),
+    and large batched cases ride the exact integer MXU backend."""
     if transpose:
         a = jnp.swapaxes(a, -3, -2)
-    prod = core.mul(a, x[..., None, :, :])
-    # prod batch axes are (..., n, m); contract m (batch-axis -1).
-    return core.sum_(prod, axis=-1)
+    out = matmul(a, jnp.broadcast_to(x[..., None, :],
+                                     a.shape[:-3] + x.shape[:-1] + (1,)
+                                     + x.shape[-1:]))
+    return out[..., 0, :]
 
 
 def transpose(a: MPArray) -> MPArray:
