@@ -719,7 +719,11 @@ def planes_to_limb(planes, ref_bits: int, k_slots: int):
     sgn = jnp.where(pf < 0, -1, 1)
     mag = jnp.abs(pf)                            # < 2^13
     out_limbs = []
-    n_ext = L + 2
+    # the grid top carries CRT/carry headroom the actual value may sit
+    # well below; extend the window so that even a value of order
+    # 2^-ref (i.e. ~1 after normalization) keeps the full L limbs
+    # before renorm truncates
+    n_ext = L + 2 + max(0, -(-top_bit // B))
     for j in range(n_ext):
         lo = B * (e_top - 1 - j) + ref_bits      # limb LSB on plane grid
         acc = None

@@ -15,22 +15,25 @@ from sdpb_tpu.ops import exact, mpmm
 
 
 def _rand_mp(rng, shape, k, scale_pow=6, dtype=np.float64):
-    wb = 24 if dtype == np.float32 else 53
+    """Random MP array: f64 word expansions, or (dtype=float32) the
+    TPU limb format with k SLOTS built from f64-word inputs."""
+    wb = 53
     w0 = (rng.standard_normal(shape) *
-          10.0 ** rng.integers(-scale_pow, scale_pow, shape)).astype(dtype)
+          10.0 ** rng.integers(-scale_pow, scale_pow, shape))
     words = [w0]
-    for _ in range(1, k):
-        words.append((words[-1] * rng.standard_normal(shape) *
-                      2.0 ** -wb).astype(dtype))
-    return np.asarray(core.renorm_words(
-        [np.asarray(w) for w in words], k))
+    for _ in range(1, 4):
+        words.append(words[-1] * rng.standard_normal(shape) * 2.0 ** -wb)
+    w64 = np.asarray(core.renorm_words(
+        [np.asarray(w) for w in words], 4))
+    if np.dtype(dtype) == np.float32:
+        from sdpb_tpu.mp import limb
+
+        return limb.from_words_np(w64, k)
+    return w64 if k == 4 else np.asarray(core.change_k(w64, k))
 
 
 def _to_mpf(words, ctx):
-    v = ctx.mpf(0)
-    for w in np.asarray(words, dtype=np.float64):
-        v += ctx.mpf(float(w))
-    return v
+    return mpdec.to_mpf(np.asarray(words), ctx)
 
 
 def test_digits_dev_matches_host():
@@ -58,7 +61,7 @@ def test_digits_dev_matches_host():
 
 @pytest.mark.parametrize("dtype,k,prec", [
     (np.float64, 4, 212),
-    (np.float32, 4, 96),
+    (np.float32, 26, 217),
 ])
 def test_syrk_mp_accuracy(dtype, k, prec):
     """On-device SYRK vs mpmath at the backward-error contract, with
