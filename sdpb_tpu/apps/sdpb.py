@@ -31,11 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--maxRuntime", type=float, default=2 ** 53)
     p.add_argument("--checkpointInterval", type=float, default=3600)
     p.add_argument("--maxSharedMemory", default="0",
-                   help="Per-device memory cap (bytes, with optional "
-                        "K/M/G suffix). 0 = auto-detect device memory. "
-                        "The predicted per-device allocation is checked "
-                        "against this at startup (the reference's "
-                        "memory_estimates, run.cxx:80-183)")
+                   help="Byte cap (optional K/M/G suffix) on the Q "
+                        "residue window buffers: the exact integer "
+                        "SYRK is tiled into row chunks that fit under "
+                        "it, matching the reference's shared-memory "
+                        "window splitting (bigint_syrk_blas.cxx:"
+                        "195-222). 0 = no cap. The TOTAL allocation "
+                        "is separately checked against auto-detected "
+                        "device memory at startup (run.cxx:80-183).")
     p.add_argument("--dualityGapThreshold", default="1e-30")
     p.add_argument("--primalErrorThreshold", default="1e-30")
     p.add_argument("--dualErrorThreshold", default="1e-30")
@@ -83,6 +86,14 @@ def main(argv=None) -> int:
     # the TPU's f64 emulation is not correctly rounded; the TPU is used
     # via the integer ops path, not the driver loop word arithmetic).
     import jax
+
+    # Multi-host: connect processes BEFORE any backend is touched
+    # (reference: `Environment.cxx:63-85` MPI init + node topology;
+    # here jax.distributed + one global mesh, with XLA lowering the
+    # collectives over ICI within a slice and DCN across hosts).
+    from ..parallel.multihost import maybe_init_distributed
+
+    maybe_init_distributed()
 
     if args.device == "auto":
         # default to the TPU when a chip is present (`sdpb` is the
@@ -250,12 +261,24 @@ def main(argv=None) -> int:
 
     old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
-    it_writer = out_io.IterationsJsonWriter(out_dir / "iterations.json")
+    rank0 = jax.process_index() == 0
+
+    class _NullWriter:
+        def write(self, *a, **kw):
+            pass
+
+        def close(self):
+            pass
+
+    # rank 0 owns all file output (the reference gathers to rank 0 and
+    # writes there, `save_solution.cxx:8`)
+    it_writer = out_io.IterationsJsonWriter(out_dir / "iterations.json") \
+        if rank0 else _NullWriter()
     last_ck = {"t": time.time()}
 
     def hook(rec, cur_state):
         it_writer.write(rec, total_time=time.time() - t_start)
-        if args.verbosity >= 1:
+        if args.verbosity >= 1 and rank0:
             import mpmath as _mp
 
             def _sci(dec):
@@ -267,14 +290,16 @@ def main(argv=None) -> int:
                   f"gap={_sci(rec.duality_gap):>10} "
                   f"steps=({rec.primal_step:.4f},{rec.dual_step:.4f})")
         if time.time() - last_ck["t"] >= params.checkpoint_interval:
-            save_checkpoint(ck_dir, _host_state(cur_state), host_problem,
-                            params)
+            if rank0:
+                save_checkpoint(ck_dir, _host_state(cur_state),
+                                host_problem, params)
             last_ck["t"] = time.time()
         if sigterm["flag"]:
             # drain: write a final checkpoint, then unwind
             # (`run.cxx:330-360`, `solve.cxx:101-107`)
-            save_checkpoint(ck_dir, _host_state(cur_state), host_problem,
-                            params)
+            if rank0:
+                save_checkpoint(ck_dir, _host_state(cur_state),
+                                host_problem, params)
             raise KeyboardInterrupt("SIGTERM")
 
     def _host_state(st):
@@ -337,14 +362,15 @@ def main(argv=None) -> int:
 
     final_state = _host_state(result.state)
     result = dataclasses.replace(result, state=final_state)
-    if not args.noFinalCheckpoint:
+    if rank0 and not args.noFinalCheckpoint:
         save_checkpoint(ck_dir, final_state, host_problem, params)
-    out_io.save_solution(out_dir, result, host_problem, runtime,
-                         write_solution=args.writeSolution,
-                         normalization=raw.normalization)
-    out_io.save_c_minus_By(out_dir / "c_minus_By" / "c_minus_By.json",
-                           host_problem, final_state.y)
-    if args.verbosity >= 1:
+    if rank0:
+        out_io.save_solution(out_dir, result, host_problem, runtime,
+                             write_solution=args.writeSolution,
+                             normalization=raw.normalization)
+        out_io.save_c_minus_By(out_dir / "c_minus_By" / "c_minus_By.json",
+                               host_problem, final_state.y)
+    if args.verbosity >= 1 and rank0:
         print(f"terminateReason = \"{result.reason.value}\"")
         print(f"primalObjective = {result.primal_objective[:50]}...")
         print(f"Solver runtime  = {runtime}")

@@ -168,8 +168,18 @@ def write_pmp_xml(path, objective, matrices) -> None:
                 w(out, 4, "elt", _num_str(v))
             close(out, 3, "sampleScalings")
         if m.bilinear_basis_even is not None:
-            # old-sampling XML holds ONE bilinearBasis list (both
-            # parities interleaved by the reader's parity split)
+            # old-sampling XML holds ONE bilinearBasis list (the full
+            # combined basis; the READER parity-splits it).  A caller
+            # supplying separate parities (the JSON convention) would
+            # silently lose the odd basis here -- refuse instead.
+            if m.bilinear_basis_odd is not None:
+                raise ValueError(
+                    "write_pmp_xml: the XML <bilinearBasis> field "
+                    "holds the single combined basis "
+                    "(bilinear_basis_even); supplying "
+                    "bilinear_basis_odd separately is a JSON-format "
+                    "convention the XML schema cannot express -- "
+                    "merge the parities or use write_pmp_json")
             w(out, 3, "bilinearBasis")
             for poly in m.bilinear_basis_even:
                 w(out, 4, "polynomial")

@@ -78,12 +78,15 @@ def _restore_rows(q_scat, e_col_pad, finite, plan, k, dtype, n: int):
 
     # pad columns to N1 and put 1 on padded global diagonal entries
     if n1 > n:
+        from ..mp import core as mpcore
+
         q_loc = jnp.pad(q_loc, ((0, 0), (0, n1 - n), (0, 0)))
         rows_g = row0 + jnp.arange(rows_loc)
         pad_diag = (rows_g >= n)
-        q_loc = q_loc.at[jnp.arange(rows_loc), rows_g, 0].set(
-            jnp.where(pad_diag, jnp.asarray(1.0, q_loc.dtype),
-                      q_loc[jnp.arange(rows_loc), rows_g, 0]))
+        onev = jnp.asarray(mpcore.one_np(q_loc.shape[-1], q_loc.dtype))
+        diag_vals = q_loc[jnp.arange(rows_loc), rows_g, :]
+        q_loc = q_loc.at[jnp.arange(rows_loc), rows_g, :].set(
+            jnp.where(pad_diag[:, None], onev[None, :], diag_vals))
     return q_loc
 
 

@@ -47,6 +47,17 @@ from ..solver.data import BucketedProblem, BucketedState, SDPBucket
 
 AXIS = "blocks"
 
+from .multihost import fetch as _fetch  # noqa: E402
+from .multihost import put_global as _put_g  # noqa: E402
+
+
+def _put(arr, sharding):
+    """Global device placement (single- and multi-process safe)."""
+    import numpy as _np
+
+    return _put_g(_np.asarray(arr), sharding)
+
+
 
 # ---------------------------------------------------------------------------
 # Problem/state sharding
@@ -127,7 +138,7 @@ def shard_problem(problem: BucketedProblem, mesh: Mesh,
             slots = np.concatenate(
                 [np.arange(nb), np.full(pad, -1)]).astype(np.int64)
         perms.append(slots)
-        mask = (slots >= 0).astype(np.float64)
+        mask = (slots >= 0).astype(np.dtype(jnp.dtype(bk.c.dtype).name))
 
         def pad_with(arr, template_zero: bool):
             arr = np.asarray(arr)
@@ -142,22 +153,22 @@ def shard_problem(problem: BucketedProblem, mesh: Mesh,
         # BlockShape shares one compiled kernel (the kernels' shard_map
         # specs must match the pytree aux data exactly)
         data = SDPBucket(
-            c=jax.device_put(pad_with(bk.c, True), sharded),
-            B=jax.device_put(pad_with(bk.B, True), sharded),
-            q=tuple(jax.device_put(pad_with(q, False), sharded)
+            c=_put(pad_with(bk.c, True), sharded),
+            B=_put(pad_with(bk.B, True), sharded),
+            q=tuple(_put(pad_with(q, False), sharded)
                     for q in bk.q),
-            u=tuple(jax.device_put(pad_with(u, False), sharded)
+            u=tuple(_put(pad_with(u, False), sharded)
                     for u in bk.u),
             shape=bk.shape,
         )
         buckets.append(MeshBucket(
-            data=data, mask=jax.device_put(jnp.asarray(mask), sharded)))
+            data=data, mask=_put(jnp.asarray(mask), sharded)))
         n_valid.append(nb)
 
     return MeshProblem(
-        objective_const=jax.device_put(
+        objective_const=_put(
             jnp.asarray(problem.objective_const), repl),
-        b=jax.device_put(jnp.asarray(problem.b), repl),
+        b=_put(jnp.asarray(problem.b), repl),
         buckets=buckets,
         mesh=mesh,
         n_valid=n_valid,
@@ -195,13 +206,13 @@ def shard_state(state: BucketedState, mproblem: MeshProblem) -> BucketedState:
     for bi_, mb in enumerate(mproblem.buckets):
         nb = mproblem.n_valid[bi_]
         perm = _perm_of(mproblem, bi_)
-        x.append(jax.device_put(pad_copy(state.x[bi_], nb, perm), sharded))
-        X.append(tuple(jax.device_put(
+        x.append(_put(pad_copy(state.x[bi_], nb, perm), sharded))
+        X.append(tuple(_put(
             pad_copy(state.X[bi_][p], nb, perm), sharded) for p in range(2)))
-        Y.append(tuple(jax.device_put(
+        Y.append(tuple(_put(
             pad_copy(state.Y[bi_][p], nb, perm), sharded) for p in range(2)))
     return BucketedState(
-        x=x, y=jax.device_put(jnp.asarray(state.y), repl), X=X, Y=Y)
+        x=x, y=_put(jnp.asarray(state.y), repl), X=X, Y=Y)
 
 
 def unshard_state(mstate: BucketedState, mproblem: MeshProblem
@@ -218,7 +229,7 @@ def unshard_state(mstate: BucketedState, mproblem: MeshProblem
             inv[slots[pos]] = pos
 
         def take(arr):
-            arr = np.asarray(arr)
+            arr = _fetch(arr)
             if inv is None:
                 return jnp.asarray(arr[:nb])
             return jnp.asarray(arr[inv])
@@ -226,7 +237,7 @@ def unshard_state(mstate: BucketedState, mproblem: MeshProblem
         x.append(take(mstate.x[bi_]))
         X.append(tuple(take(mstate.X[bi_][p]) for p in range(2)))
         Y.append(tuple(take(mstate.Y[bi_][p]) for p in range(2)))
-    return BucketedState(x=x, y=jnp.asarray(np.asarray(mstate.y)), X=X, Y=Y)
+    return BucketedState(x=x, y=jnp.asarray(_fetch(mstate.y)), X=X, Y=Y)
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +521,7 @@ def compute_xy_mu(problem: MeshProblem, state: BucketedState,
         tr_parts.append(tr)
     mu, terminate_max_c = bi._mu_combine(
         tuple(tr_parts), problem.total_psd_rows, max_complementarity)
-    r_errs = [np.asarray(_r_error_kernel(problem.mesh, mb.shape)(
+    r_errs = [_fetch(_r_error_kernel(problem.mesh, mb.shape)(
         mb.mask, tuple(minus_XY[i]), mu))
         for i, mb in enumerate(problem.buckets)]
     k = problem.b.shape[-1]
@@ -762,18 +773,19 @@ def initial_state(problem: MeshProblem, scale_primal, scale_dual
     dtype = problem.b.dtype
 
     def eye(nb, n, scale):
-        m = np.zeros((nb, n, n, k))
+        m = np.zeros((nb, n, n, k), np.dtype(jnp.dtype(dtype).name))
         if n:
-            m[:, np.arange(n), np.arange(n), 0] = scale
-        return jax.device_put(jnp.asarray(m, dtype), sharded)
+            svec = np.asarray(mp.from_f64_np(float(scale), k, dtype))
+            m[:, np.arange(n), np.arange(n), :] = svec
+        return _put(m, sharded)
 
     x, X, Y = [], [], []
     for mb in problem.buckets:
         nb = mb.nb
         se, so = mb.shape.psd_sizes
-        x.append(jax.device_put(
+        x.append(_put(
             jnp.zeros((nb, mb.shape.schur_size, k), dtype), sharded))
         X.append((eye(nb, se, scale_primal), eye(nb, so, scale_primal)))
         Y.append((eye(nb, se, scale_dual), eye(nb, so, scale_dual)))
-    y = jax.device_put(jnp.zeros((problem.dual_dim, k), dtype), repl)
+    y = _put(jnp.zeros((problem.dual_dim, k), dtype), repl)
     return BucketedState(x=x, y=y, X=X, Y=Y)

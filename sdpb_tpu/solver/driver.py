@@ -78,10 +78,17 @@ class SolveResult:
     dual_error: str
 
 
+def _np(x):
+    """Host value of a (possibly multi-process replicated) array."""
+    from ..parallel.multihost import fetch
+
+    return fetch(x)
+
+
 def _mpf_of(words, prec) -> mpmath.mpf:
     ctx = mpmath.mp.clone()
     ctx.prec = prec + 64
-    return mpdec.to_mpf(np.asarray(words), ctx)
+    return mpdec.to_mpf(_np(words), ctx)
 
 
 def solve(problem: SDPProblem, params: SolverParams,
@@ -115,7 +122,7 @@ def solve(problem: SDPProblem, params: SolverParams,
     records = []
     reason = TerminateReason.MaxIterationsExceeded
     primal_step = dual_step = 0.0
-    dec = lambda w: mpdec.to_decimal(np.asarray(w))
+    dec = lambda w: mpdec.to_decimal(_np(w))
 
     if timers is None:
         from ..utils.timers import Timers
@@ -180,12 +187,12 @@ def solve(problem: SDPProblem, params: SolverParams,
                 problem, state, res, params, feasible)
             jax.block_until_ready(state.y)
 
-        if bool(np.asarray(info.terminate_max_complementarity)):
+        if bool(_np(info.terminate_max_complementarity)):
             reason = TerminateReason.MaxComplementarityExceeded
             break
 
-        primal_step = float(np.asarray(info.primal_step))
-        dual_step = float(np.asarray(info.dual_step))
+        primal_step = float(_np(info.primal_step))
+        dual_step = float(_np(info.dual_step))
         if not (np.isfinite(primal_step) and np.isfinite(dual_step)):
             raise NonFiniteIterateError(
                 f"non-finite step length at iteration {it}: the Schur "
