@@ -406,10 +406,39 @@ def _q_residues_partial_kernel(mesh, shape, plan):
     return _sharded(mesh, fn, in_specs=(s, r), out_specs=s)
 
 
-#: dual dimensions >= this use the distributed (row-sharded) Q restore,
-#: Cholesky and dy solves instead of the replicated ones.  Tests lower
-#: it to force the distributed path on toy problems.
+#: dual dimensions >= this ALWAYS use the distributed (row-sharded) Q
+#: restore, Cholesky and dy solves; below it the choice comes from the
+#: memory estimate (`should_distribute_q`).  Tests lower it to force
+#: the distributed path on toy problems.
 DIST_Q_MIN_N = 2048
+
+#: fraction of per-device memory the replicated Q working set (Q,
+#: L_Q, restore temporaries ~ 6 copies of N^2 MP entries) may occupy
+#: before the row-sharded path engages
+DIST_Q_MEM_FRACTION = 0.10
+
+
+def should_distribute_q(problem) -> bool:
+    """Engage the distributed Q path when the replicated N x N working
+    set would crowd per-device memory (the reference distributes Q
+    unconditionally across all ranks,
+    `initialize_schur_complement_solver.cxx:95-104`; replicating is the
+    TPU fast path for small N, but must yield before Q dominates HBM).
+    """
+    n = problem.dual_dim
+    if n >= DIST_Q_MIN_N:
+        return True
+    if problem.mesh.devices.size < 2:
+        return False
+    k = problem.b.shape[-1]
+    q_bytes = 6 * n * n * k * np.dtype(
+        jnp.dtype(problem.b.dtype).name).itemsize
+    from ..solver.memory import detect_device_memory
+
+    mem = detect_device_memory()
+    if not mem:
+        return False
+    return q_bytes > DIST_Q_MEM_FRACTION * mem
 
 
 @dataclasses.dataclass
@@ -428,7 +457,7 @@ def schur_factorize(problem: MeshProblem, res):
     total_rows = sum(mb.data.nb * mb.shape.schur_size
                      for mb in problem.buckets)
     plan = mpmm.plan_for(mpmm.precision_of(problem.b.dtype, k), total_rows)
-    distributed = problem.dual_dim >= DIST_Q_MIN_N
+    distributed = should_distribute_q(problem)
     L_S, LinvB = [], []
     lbms, e_cols, fins = [], [], []
     for i, mb in enumerate(problem.buckets):

@@ -30,6 +30,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     if n_proc > 1:
         jax.distributed.initialize(
             coordinator_address=f"localhost:{port}",
@@ -48,7 +51,7 @@ def main():
     from sdpb_tpu.solver.params import SolverParams
 
     rng = np.random.default_rng(7)
-    k, N = 14, 6                       # 14 slots ~ 109-bit limb format
+    k, N = 10, 6                       # 10 slots ~ 73-bit limb format
 
     def mp_w(x):
         return limb.from_words_np(
@@ -75,7 +78,7 @@ def main():
     problem = BucketedProblem(
         objective_const=jnp.asarray(mp_w(0.0)),
         b=jnp.asarray(mp_w(rng.standard_normal(N))),
-        buckets=[synth_bucket(8, 2, 3), synth_bucket(3, 1, 3)],
+        buckets=[synth_bucket(8, 2, 3), synth_bucket(3, 1, 2)],
     )
     mesh = Mesh(np.array(jax.devices()), (mesh_mod.AXIS,))
     mproblem = mesh_mod.shard_problem(problem, mesh)

@@ -135,3 +135,85 @@ def _mpf_dec(dec_str):
     ctx = mpmath.mp.clone()
     ctx.prec = 300
     return ctx.mpf(dec_str)
+
+
+def test_dist_q_matches_replicated_at_n512(mesh8):
+    """N=512 (a production-scale dual dimension): the row-sharded
+    psum_scatter + row-panel Cholesky path must reproduce the
+    replicated path's L_Q exactly-to-format, at a size where the
+    distributed path actually matters
+    (`initialize_schur_complement_solver.cxx:95-104`).  Also times the
+    two paths' collectives (informational, printed with -s)."""
+    import time
+
+    from sdpb_tpu.ops import mpmm
+    from sdpb_tpu.solver import bucket_iteration as bi
+
+    rng = np.random.default_rng(5)
+    n, rows, k = 512, 640, 3
+    xv = rng.standard_normal((rows, n)) / np.sqrt(rows)
+    x = jnp.asarray(np.concatenate(
+        [xv[..., None], np.zeros((rows, n, k - 1))], axis=-1))
+    plan = mpmm.plan_for(53 * k, rows)
+
+    # replicated: residues -> restore -> full-matrix Cholesky
+    t0 = time.time()
+    q_res, e_col = mpmm.syrk_residues_mp(x, plan)
+    d_res = None
+    L_rep = bi._q_restore_cholesky(q_res, e_col, jnp.asarray(True),
+                                   plan, k, x)
+    L_rep = np.asarray(jax.block_until_ready(L_rep))
+    t_rep = time.time() - t0
+
+    # distributed: per-device partials -> psum_scatter -> row-panel
+    # Cholesky over the 8-device mesh
+    part = x.reshape(8, rows // 8, n, k)
+    t0 = time.time()
+    parts = []
+    for d in range(8):
+        qr, _ = mpmm.syrk_residues_mp(part[d], plan, e_col=e_col)
+        parts.append(qr[None])
+    q_stack = jnp.concatenate(parts, axis=0)
+    q_stack = jax.device_put(
+        q_stack, jax.sharding.NamedSharding(
+            mesh8, jax.sharding.PartitionSpec(dist_q.AXIS)))
+    kern = dist_q._restore_chol_kernel(mesh8, plan, k, n, "float64")
+    l_sh = kern(q_stack, e_col, jnp.asarray(True))
+    l_sh = np.asarray(jax.block_until_ready(l_sh))
+    t_dist = time.time() - t0
+    print(f"\n[dist-q n=512] replicated {t_rep:.2f}s "
+          f"distributed {t_dist:.2f}s (8 virtual devices)")
+
+    assert np.isfinite(L_rep).all()
+    v_rep = L_rep.sum(-1)
+    v_dist = l_sh[:n, :n].sum(-1)
+    denom = np.abs(np.diag(v_rep)).max()
+    assert np.abs(v_dist - v_rep).max() / denom < 1e-24
+
+
+def test_should_distribute_q_thresholds(mesh8, monkeypatch):
+    """The distributed path engages from the memory estimate, not only
+    the magic N cap."""
+    from sdpb_tpu.solver import memory as mem_mod
+
+    class P:
+        def __init__(self, n, k):
+            import dataclasses
+
+            self.b = jnp.zeros((n, k))
+            self.mesh = mesh8
+
+        @property
+        def dual_dim(self):
+            return self.b.shape[0]
+
+    # small N, plenty of memory -> replicated
+    monkeypatch.setattr(mem_mod, "detect_device_memory",
+                        lambda: 16 * 2 ** 30)
+    assert not mesh_mod.should_distribute_q(P(256, 8))
+    # same N, tiny device memory -> distributed
+    monkeypatch.setattr(mem_mod, "detect_device_memory",
+                        lambda: 2 ** 20)
+    assert mesh_mod.should_distribute_q(P(256, 8))
+    # giant N -> always distributed
+    assert mesh_mod.should_distribute_q(P(4096, 8))

@@ -28,7 +28,7 @@ def _free_port():
     return port
 
 
-def _run(n_proc, timeout=900):
+def _run(n_proc, timeout=2400):
     port = _free_port()
     procs = [
         subprocess.Popen(
