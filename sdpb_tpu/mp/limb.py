@@ -443,19 +443,38 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     n_out = L + G
     zpad = jnp.zeros(la.shape[:-1] + (G,), la.dtype)
     lbp = jnp.concatenate([lb, zpad], axis=-1)          # (..., L+G)
-    # Horner-scan convolution: acc <- shift_right(acc) + la_i * lbp,
-    # i from L-1 down to 0, places la_i's products at offset i.  A
-    # lax.scan keeps ONE accumulator live (a static L-step loop makes
-    # XLA hold O(L) partial buffers -- OOM at production shapes).
+    # Chunked Horner-scan convolution: process CHUNK limbs per scan
+    # step -- acc <- shift_right_CHUNK(acc) + sum_j la_{c+j} *
+    # shift_right_j(lbp).  A scan keeps ONE accumulator live (a fully
+    # static L-step loop makes XLA hold O(L) partial buffers -- OOM at
+    # production shapes), and chunking divides the number of
+    # accumulator HBM sweeps by CHUNK (the scan body's multiply-adds
+    # fuse into one kernel; per-limb stepping made the whole solver
+    # memory-bound on acc traffic).
+    CHUNK = 8
+    Lp = -(-L // CHUNK) * CHUNK
     la_t = jnp.moveaxis(la, -1, 0)                      # (L, ...)
+    if Lp != L:
+        la_t = jnp.concatenate(
+            [la_t, jnp.zeros((Lp - L,) + la.shape[:-1], la.dtype)],
+            axis=0)
+    la_c = la_t.reshape((Lp // CHUNK, CHUNK) + la.shape[:-1])
 
-    def step(acc, lai):
+    def step(acc, chunk):
         acc = jnp.concatenate(
-            [jnp.zeros_like(acc[..., :1]), acc[..., :-1]], axis=-1)
-        return acc + lai[..., None] * lbp, None
+            [jnp.zeros(acc.shape[:-1] + (CHUNK,), acc.dtype),
+             acc[..., :-CHUNK]], axis=-1)
+        for j in range(CHUNK):
+            contrib = chunk[j][..., None] * lbp
+            if j:
+                contrib = jnp.concatenate(
+                    [jnp.zeros(contrib.shape[:-1] + (j,), acc.dtype),
+                     contrib[..., :-j]], axis=-1)
+            acc = acc + contrib
+        return acc, None
 
     acc0 = jnp.zeros(la.shape[:-1] + (n_out,), la.dtype)
-    acc, _ = jax.lax.scan(step, acc0, la_t, reverse=True)
+    acc, _ = jax.lax.scan(step, acc0, la_c, reverse=True)
     ext = _heads(acc, 2)
     out = _renorm(ea + eb + 2, ext, L, passes=3)
     nan = ~(jnp.isfinite(a[..., 0]) & jnp.isfinite(b[..., 0]))

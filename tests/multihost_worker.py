@@ -51,7 +51,12 @@ def main():
     from sdpb_tpu.solver.params import SolverParams
 
     rng = np.random.default_rng(7)
-    k, N = 10, 6                       # 10 slots ~ 73-bit limb format
+    N = 6
+    params = SolverParams(precision=80, word_dtype="float32",
+                          max_iterations=3,
+                          initial_matrix_scale_primal="1e4",
+                          initial_matrix_scale_dual="1e4")
+    k = params.n_words                 # ~80-bit limb format
 
     def mp_w(x):
         return limb.from_words_np(
@@ -82,10 +87,6 @@ def main():
     )
     mesh = Mesh(np.array(jax.devices()), (mesh_mod.AXIS,))
     mproblem = mesh_mod.shard_problem(problem, mesh)
-    params = SolverParams(precision=100, word_dtype="float32",
-                          max_iterations=3,
-                          initial_matrix_scale_primal="1e4",
-                          initial_matrix_scale_dual="1e4")
     result = solve(mproblem, params)
     if pid == 0:
         for rec in result.iterations:
