@@ -36,10 +36,19 @@ BUCKETS = [          # (nb, m, pts)
     (48, 2, 32),
     (16, 4, 24),
 ]
+# CPU-baseline workload: same shapes, 1/4 the blocks.  A full 400-bit
+# iteration of this code on the 2-core host CPU takes tens of minutes;
+# per-block work is linear in nb within a bucket, so the TPU/CPU ratio
+# is measured at the reduced size on BOTH backends and reported as
+# vs_baseline (the headline value is still the full-size TPU time).
+BUCKETS_SMALL = [
+    (12, 2, 32),
+    (4, 4, 24),
+]
 REPS = 3
 
 
-def build_problem(params):
+def build_problem(params, buckets=None):
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,6 +59,7 @@ def build_problem(params):
 
     rng = np.random.default_rng(0)
     k = params.n_words
+    buckets_spec = buckets if buckets is not None else BUCKETS
 
     def mp_w(x):
         return limb.from_words_np(
@@ -57,7 +67,7 @@ def build_problem(params):
 
     buckets = []
     j0 = 0
-    for nb, m, pts in BUCKETS:
+    for nb, m, pts in buckets_spec:
         shape = block_shape_of(m, pts)
         q_e = rng.standard_normal((nb, shape.he, pts))
         q_o = rng.standard_normal((nb, shape.ho, pts))
@@ -133,7 +143,7 @@ def timed_iteration(problem, state, params, phases):
     return new_state
 
 
-def run_once(reps):
+def run_once(reps, buckets=None):
     import jax
     import numpy as np
 
@@ -153,7 +163,7 @@ def run_once(reps):
     from sdpb_tpu.solver.params import SolverParams
 
     params = SolverParams(precision=PRECISION, word_dtype="float32")
-    problem, state = build_problem(params)
+    problem, state = build_problem(params, buckets)
 
     phases = {}
     state = timed_iteration(problem, state, params, {})  # warmup/compile
@@ -225,22 +235,24 @@ def main():
     dt, backend, phases = run_once(REPS)
     its = 1.0 / dt
 
+    # TPU/CPU ratio at the reduced workload (see BUCKETS_SMALL note)
     vs = 0.0
-    cpu_dt = None
+    cpu_dt = tpu_small_dt = None
     try:
+        tpu_small_dt, _, _ = run_once(1, BUCKETS_SMALL)
         code = (
             "import sys; sys.path.insert(0, %r); "
-            "import bench; dt,_,ph = bench.run_once(2); print('RES', dt); "
-            "print('PH', __import__('json').dumps(ph))"
+            "import bench; dt,_,ph = bench.run_once(1, "
+            "bench.BUCKETS_SMALL); print('RES', dt)"
             % os.path.dirname(os.path.abspath(__file__))
         )
         env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
         out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=5400)
+                             capture_output=True, text=True, timeout=4200)
         for line in out.stdout.splitlines():
             if line.startswith("RES "):
                 cpu_dt = float(line.split()[1])
-        vs = cpu_dt / dt
+        vs = cpu_dt / tpu_small_dt
     except Exception:
         vs = 0.0
 
@@ -248,9 +260,10 @@ def main():
     split = " ".join(f"{k_}={v*1e3:.0f}ms" for k_, v in
                      sorted(phases.items(), key=lambda kv: -kv[1]))
     print(f"[bench] backend={backend} 400-bit stock-contract iter="
-          f"{dt*1e3:.0f} ms "
-          f"cpu_iter={'%.0f ms' % (cpu_dt*1e3) if cpu_dt else 'n/a'}",
-          file=sys.stderr)
+          f"{dt*1e3:.0f} ms; reduced-workload ratio: "
+          f"cpu={'%.0f ms' % (cpu_dt*1e3) if cpu_dt else 'n/a'} vs "
+          f"tpu={'%.0f ms' % (tpu_small_dt*1e3) if tpu_small_dt else 'n/a'}"
+          f" -> {vs:.1f}x", file=sys.stderr)
     print(f"[bench] phase split: {split}", file=sys.stderr)
     print(f"[bench] Q syrk: {n_primes} primes, {macs/1e9:.1f} G "
           f"int8-MACs/iter (~{macs/dt/394e12*100:.2f}% of v5e int8 peak "

@@ -52,10 +52,10 @@ def main():
 
     rng = np.random.default_rng(7)
     N = 6
-    params = SolverParams(precision=80, word_dtype="float32",
+    params = SolverParams(precision=140, word_dtype="float32",
                           max_iterations=3,
-                          initial_matrix_scale_primal="1e4",
-                          initial_matrix_scale_dual="1e4")
+                          initial_matrix_scale_primal="1e2",
+                          initial_matrix_scale_dual="1e2")
     k = params.n_words                 # ~80-bit limb format
 
     def mp_w(x):
