@@ -189,16 +189,37 @@ def main(argv=None) -> int:
     # (`run.cxx:80-183`): predicted per-device bytes vs the device
     # memory; --maxSharedMemory caps the Q residue windows (tiling),
     # exactly the reference's semantics.
-    from ..solver.memory import MemoryLimitError, check_memory_limit
+    from ..solver.memory import (MemoryLimitError, check_memory_limit,
+                                 intra_would_fit)
 
+    use_intra = False
     try:
         check_memory_limit(problem,
                            n_devices=max(1, len(jax.devices())),
                            verbose=args.verbosity >= 2,
                            q_bytes_cap=args.maxSharedMemory)
     except MemoryLimitError as e:
-        print(f"sdpb: {e}", file=sys.stderr)
-        return 1
+        # Over per-device limit: route through intra-block model
+        # parallelism (row-sharded blocks over the mesh,
+        # parallel.intra_solver -- the reference's multi-rank
+        # El::Grid blocks, Block_Map.hxx:8-14) when sharding the
+        # per-block state would cure it; otherwise abort as before.
+        n_dev_all = max(1, len(jax.devices()))
+        import os as _os
+
+        limit = _os.environ.get("SDPB_TPU_DEVICE_MEMORY") or None
+        from ..solver.memory import detect_device_memory
+
+        lim = limit or detect_device_memory()
+        if n_dev_all > 1 and intra_would_fit(problem, lim, n_dev_all):
+            use_intra = True
+            if args.verbosity >= 1:
+                print("memory: blocks exceed one device; using "
+                      "intra-block row sharding over "
+                      f"{n_dev_all} devices")
+        else:
+            print(f"sdpb: {e}", file=sys.stderr)
+            return 1
 
     # Multi-chip: shard the block axis over every visible device
     # (the reference's block data-parallelism over MPI ranks).
@@ -206,7 +227,20 @@ def main(argv=None) -> int:
     host_problem = problem
     mesh_mod = None
     n_dev = len(jax.devices())
-    if n_dev > 1:
+    if use_intra:
+        from jax.sharding import Mesh as _Mesh
+
+        import numpy as _np
+
+        from ..parallel import intra_solver
+        from ..solver.data import problem_from_raw as _pfr
+
+        imesh = _Mesh(_np.array(jax.devices()),
+                      (intra_solver.AXIS,))
+        problem = intra_solver.IntraProblem(
+            problem_from_raw(raw, dtype=jnp.dtype(word_dtype),
+                             k=params.n_words), imesh)
+    elif n_dev > 1:
         from jax.sharding import Mesh
 
         from ..parallel import mesh as mesh_mod

@@ -388,7 +388,10 @@ def lead(a: MPArray):
     logv = B * e.astype(m.dtype) + jnp.log2(jnp.maximum(am, 1e-38))
     off = np.float32(2 * EOFF * B + 64)
     key = jnp.sign(m) * (logv + off)
-    return jnp.where(am == 0.0, 0.0, key) + 0.0 * m
+    key = jnp.where(am == 0.0, 0.0, key) + 0.0 * m
+    # non-finite slot 0 (poisoned / raw-filled values): fall back to
+    # the mantissa itself (+-inf/NaN) instead of int-casting garbage
+    return jnp.where(jnp.isfinite(a[..., 0]), key, m)
 
 
 def sign_word(a: MPArray):

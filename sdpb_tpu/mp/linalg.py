@@ -71,7 +71,13 @@ def matmul(a: MPArray, b: MPArray, transpose_a: bool = False,
     (`ops.mpmm`, the TPU redesign of the reference's `bigint_syrk`),
     with `a is b` SYRK detection (checked here, outside jit, where
     argument identity is visible); small/batched products use the naive
-    vectorized expansion arithmetic."""
+    vectorized expansion arithmetic.
+
+    Sharding contract: the CONTRACTED axis must not be sharded -- the
+    SPMD partitioner would reduce the per-device partial products with
+    a word-wise float sum, which is not an MP add and corrupts the low
+    words.  Distributed contractions belong to `parallel.intra`
+    (explicit shard_map + exact integer psum)."""
     syrk = a is b and transpose_a != transpose_b
     return _matmul_impl(a, b, transpose_a, transpose_b, syrk)
 

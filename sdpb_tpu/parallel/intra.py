@@ -128,3 +128,44 @@ def syrk(mesh: Mesh, x_sharded, k_out: int | None = None):
     k_out = k_out if k_out is not None else k
     plan = mpmm.plan_for(mpmm.precision_of(x_sharded.dtype, k), n)
     return _syrk_kernel(mesh, plan, k_out)(x_sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def _gemm_kernel(mesh, plan, k_out: int):
+    def fn(x_loc, y_loc):
+        from ..ops import exact, mpmm
+
+        e_x = jax.lax.pmax(jnp.max(mpmm.exponents(x_loc), axis=0), AXIS)
+        e_y = jax.lax.pmax(jnp.max(mpmm.exponents(y_loc), axis=0), AXIS)
+        dx = mpmm.digits_dev(mpmm.scale_pow2(x_loc, -e_x[None, :]), plan)
+        dy = mpmm.digits_dev(mpmm.scale_pow2(y_loc, -e_y[None, :]), plan)
+        c_res = exact.gemm_residues_split(
+            exact.residues_split(dx, plan),
+            exact.residues_split(dy, plan), plan)
+        c_sum = jax.lax.psum(c_res, AXIS)
+        c_sum = mpmm.reduce_residues_mod(c_sum, plan)
+        planes = exact.crt_restore_planes(c_sum, plan)
+        w = mpmm.planes_to_mp_dev(planes, plan, k_out, x_loc.dtype)
+        E = (mpmm._ref_bits(plan, k_out, x_loc.dtype)
+             - 2 * plan.shift_bits) + e_x[:, None] + e_y[None, :]
+        out = mpmm.scale_pow2(w, E)
+        bad = ~(jnp.isfinite(jnp.max(jnp.abs(x_loc[..., 0])))
+                & jnp.isfinite(jnp.max(jnp.abs(y_loc[..., 0]))))
+        bad = jax.lax.pmax(bad.astype(jnp.int32), AXIS) > 0
+        return jnp.where(bad, jnp.asarray(jnp.nan, out.dtype), out)
+
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                             out_specs=P()))
+
+
+def gemm(mesh: Mesh, x_sharded, y_sharded, k_out: int | None = None):
+    """Exact X^T Y of row-sharded MP matrices (n, mx, K), (n, my, K)
+    -> replicated (mx, my, K_out), by per-shard int8-MXU residue GEMM
+    + exact int32 psum (the off-diagonal dgemm jobs next to
+    `bigint_syrk_blas`)."""
+    from ..ops import mpmm
+
+    n, m, k = x_sharded.shape
+    k_out = k_out if k_out is not None else k
+    plan = mpmm.plan_for(mpmm.precision_of(x_sharded.dtype, k), n)
+    return _gemm_kernel(mesh, plan, k_out)(x_sharded, y_sharded)

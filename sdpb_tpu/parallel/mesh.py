@@ -679,8 +679,11 @@ def _lambda_kernel(mesh, shape):
         lam_p, lam_d = inf, inf
 
         def masked_min(lams):
-            lams = jnp.where((mask > 0)[:, None], lams,
-                             jnp.asarray(jnp.inf, dtype))
+            # fill phantom slots with a FORMAT-CORRECT +inf (raw inf in
+            # every slot corrupts the limb format's exponent slot and
+            # made the argmin pick the phantom -> step length 1.0)
+            lams = mp.where(mask > 0, lams,
+                            jnp.broadcast_to(inf, lams.shape))
             return bi._min_mp_over(lams)
 
         for p in bi._parities(bk.shape):

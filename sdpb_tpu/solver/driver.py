@@ -99,8 +99,12 @@ def solve(problem: SDPProblem, params: SolverParams,
     ``timers`` (sdpb_tpu.utils.timers.Timers) records the reference's
     dotted profile paths (run.iter_<n>.{residues,step}) when given."""
     from ..parallel import mesh as mesh_mod
+    from ..parallel import intra_solver
 
-    if isinstance(problem, mesh_mod.MeshProblem):
+    if isinstance(problem, intra_solver.IntraProblem):
+        it_mod = intra_solver
+        init = intra_solver.initial_state
+    elif isinstance(problem, mesh_mod.MeshProblem):
         it_mod = mesh_mod
         init = mesh_mod.initial_state
     elif isinstance(problem, BucketedProblem):

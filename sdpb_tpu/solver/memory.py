@@ -210,3 +210,20 @@ def check_memory_limit(problem, limit=None, n_devices: int = 1,
             f"predicted allocation {format_bytes(est.total)} per device "
             f"exceeds the limit {format_bytes(limit)}\n" + est.message(limit))
     return est
+
+
+def intra_would_fit(problem, limit, n_devices: int) -> bool:
+    """Would row-sharding each block's PSD-sized state over
+    ``n_devices`` (parallel.intra_solver) bring the footprint under
+    ``limit``?  The intra path divides every PSD/Schur-sized persistent
+    tensor by the device count while keeping one full-size transient
+    alive at a time, so the estimate is total/n_devices plus the
+    largest single component.  Used by the sdpb driver to route
+    over-limit problems to the intra path instead of aborting
+    (`Block_Map.hxx:8-14` role)."""
+    limit = parse_bytes(limit) if limit else 0
+    if not limit or n_devices < 2:
+        return False
+    est = estimate_solver_memory(problem, n_devices=1)
+    biggest = max(est.components.values()) if est.components else 0
+    return est.total // n_devices + biggest <= limit

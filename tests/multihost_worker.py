@@ -43,48 +43,20 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
-    from sdpb_tpu.mp import limb
+    from sdpb_tpu.io.sdp_json import read_sdp
     from sdpb_tpu.parallel import mesh as mesh_mod
-    from sdpb_tpu.solver.data import (BucketedProblem, SDPBucket,
-                                      block_shape_of, build_u)
+    from sdpb_tpu.solver import problem_from_raw
+    from sdpb_tpu.solver.data import bucketize
     from sdpb_tpu.solver.driver import solve
     from sdpb_tpu.solver.params import SolverParams
 
-    rng = np.random.default_rng(7)
-    N = 6
-    params = SolverParams(precision=140, word_dtype="float32",
-                          max_iterations=3,
-                          initial_matrix_scale_primal="1e2",
-                          initial_matrix_scale_dual="1e2")
-    k = params.n_words                 # ~80-bit limb format
-
-    def mp_w(x):
-        return limb.from_words_np(
-            np.asarray(x, dtype=np.float64)[..., None], k)
-
-    def synth_bucket(nb, m, pts):
-        shape = block_shape_of(m, pts)
-        q_e = rng.standard_normal((nb, shape.he, pts))
-        q_o = rng.standard_normal((nb, shape.ho, pts))
-        return SDPBucket(
-            c=jnp.asarray(mp_w(rng.standard_normal(
-                (nb, shape.schur_size)))),
-            B=jnp.asarray(mp_w(rng.standard_normal(
-                (nb, shape.schur_size, N)))),
-            q=(jnp.asarray(mp_w(q_e)), jnp.asarray(mp_w(q_o))),
-            u=(jnp.asarray(np.stack([build_u(mp_w(q_e[i]), m)
-                                     for i in range(nb)])),
-               jnp.asarray(np.stack([build_u(mp_w(q_o[i]), m)
-                                     for i in range(nb)]))),
-            shape=shape,
-            block_indices=tuple(range(nb)),
-        )
-
-    problem = BucketedProblem(
-        objective_const=jnp.asarray(mp_w(0.0)),
-        b=jnp.asarray(mp_w(rng.standard_normal(N))),
-        buckets=[synth_bucket(8, 2, 3), synth_bucket(3, 1, 2)],
-    )
+    params = SolverParams(precision=212, word_dtype="float32",
+                          max_iterations=3)
+    raw = read_sdp(
+        "/root/reference/test/data/end-to-end_tests/1d-constraints"
+        "/output/sdp", k=6)
+    problem = bucketize(problem_from_raw(
+        raw, dtype=jnp.float32, k=params.n_words))
     mesh = Mesh(np.array(jax.devices()), (mesh_mod.AXIS,))
     mproblem = mesh_mod.shard_problem(problem, mesh)
     result = solve(mproblem, params)
