@@ -388,7 +388,12 @@ def lead(a: MPArray):
     logv = B * e.astype(m.dtype) + jnp.log2(jnp.maximum(am, 1e-38))
     off = np.float32(2 * EOFF * B + 64)
     key = jnp.sign(m) * (logv + off)
-    key = jnp.where(am == 0.0, 0.0, key) + 0.0 * m
+    key = jnp.where(am == 0.0, 0.0, key)
+    # propagate NaN mantissas without destroying +-inf keys (a plain
+    # `+ 0*m` turns an infinity's key into NaN, and NaN keys win
+    # argmin -- which silently selected +inf placeholders over real
+    # lambda_min values in the mesh step-length kernel)
+    key = jnp.where(jnp.isnan(m), jnp.nan, key)
     # non-finite slot 0 (poisoned / raw-filled values): fall back to
     # the mantissa itself (+-inf/NaN) instead of int-casting garbage
     return jnp.where(jnp.isfinite(a[..., 0]), key, m)
