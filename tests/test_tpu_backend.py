@@ -26,15 +26,14 @@ if jax.default_backend() not in ("tpu", "axon"):
 sys.path.insert(0, %(repo)r)
 jax.config.update("jax_compilation_cache_dir", %(repo)r + "/.jax_cache")
 from sdpb_tpu.ops import mpmm
-from sdpb_tpu.mp import linalg as la
+from sdpb_tpu.mp import limb
 
 rng = np.random.default_rng(0)
-K = 3
-x = np.zeros((48, 16, K), np.float32)
-x[..., 0] = rng.standard_normal((48, 16)).astype(np.float32)
-x[..., 1] = x[..., 0] * 2e-8
+K = 26                                  # ~217-bit limb format
+x = limb.from_words_np(
+    rng.standard_normal((48, 16))[..., None], K)
 xj = jnp.asarray(x)
-plan = mpmm.plan_for(24 * K, 64)
+plan = mpmm.plan_for(limb.precision_bits(K), 64)
 q_tpu = np.asarray(mpmm.syrk_mp(xj, plan))
 
 # CPU oracle for the same exact computation
@@ -42,6 +41,20 @@ cpu = jax.devices("cpu")[0]
 with jax.default_device(cpu):
     q_cpu = np.asarray(mpmm.syrk_mp(jax.device_put(xj, cpu), plan))
 assert np.array_equal(q_tpu, q_cpu), "exact SYRK differs TPU vs CPU"
+
+# limb word arithmetic: TPU == CPU bit-for-bit (both are the same
+# correctly-rounded f32 ops)
+a = jnp.asarray(limb.from_words_np(
+    (rng.standard_normal((64,)) * 10.0 ** rng.integers(-30, 30, 64)
+     )[..., None], K))
+b = jnp.asarray(limb.from_words_np(
+    (rng.standard_normal((64,)) * 10.0 ** rng.integers(-30, 30, 64)
+     )[..., None], K))
+for op in (limb.add, limb.mul, limb.div):
+    t = np.asarray(op(a, b))
+    with jax.default_device(cpu):
+        c = np.asarray(op(jax.device_put(a, cpu), jax.device_put(b, cpu)))
+    assert np.array_equal(t, c), f"limb {op.__name__} differs TPU vs CPU"
 print("TPU backend OK")
 """
 
