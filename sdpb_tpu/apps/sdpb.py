@@ -233,7 +233,6 @@ def main(argv=None) -> int:
         import numpy as _np
 
         from ..parallel import intra_solver
-        from ..solver.data import problem_from_raw as _pfr
 
         imesh = _Mesh(_np.array(jax.devices()),
                       (intra_solver.AXIS,))
@@ -278,7 +277,11 @@ def main(argv=None) -> int:
               f"\tSDP blocks: {host_problem.num_blocks}")
 
     state = None
-    if args.initialCheckpointDir or (ck_dir / "checkpoint.json").exists():
+    if use_intra and (args.initialCheckpointDir
+                      or (ck_dir / "checkpoint.json").exists()):
+        print("sdpb: checkpoint restart into the intra-block path is "
+              "not supported yet; starting cold", file=sys.stderr)
+    elif args.initialCheckpointDir or (ck_dir / "checkpoint.json").exists():
         ck_in = pathlib.Path(args.initialCheckpointDir or ck_dir)
         state = load_checkpoint(ck_in, host_problem, params)
         if state is not None:
@@ -337,8 +340,35 @@ def main(argv=None) -> int:
             raise KeyboardInterrupt("SIGTERM")
 
     def _host_state(st):
-        return mesh_mod.unshard_state(st, problem) if mesh_mod is not None \
-            else st
+        if mesh_mod is not None:
+            return mesh_mod.unshard_state(st, problem)
+        if use_intra:
+            # strip the intra path's row padding and repack the
+            # per-block SolverState into the BucketedState layout the
+            # IO layer expects (host_problem is bucketized)
+            import numpy as _np
+
+            from ..solver.data import BucketedState as _BS
+
+            blocks = problem.blocks
+
+            def blk(i, which, p):
+                bl = blocks[i]
+                n_p = bl.shape.psd_size(p)
+                arr = _np.asarray((st.X if which == "X" else st.Y)[i][p])
+                return arr[:n_p, :n_p]
+
+            x, X, Y = [], [], []
+            for bk in host_problem.buckets:
+                idxs = list(bk.block_indices)
+                x.append(jnp.asarray(_np.stack(
+                    [_np.asarray(st.x[j]) for j in idxs])))
+                X.append(tuple(jnp.asarray(_np.stack(
+                    [blk(j, "X", p) for j in idxs])) for p in range(2)))
+                Y.append(tuple(jnp.asarray(_np.stack(
+                    [blk(j, "Y", p) for j in idxs])) for p in range(2)))
+            return _BS(x=x, y=jnp.asarray(_np.asarray(st.y)), X=X, Y=Y)
+        return st
 
     from ..utils.timers import Timers, Verbosity, rotate_profiling_dir
 
