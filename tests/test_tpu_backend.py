@@ -55,6 +55,23 @@ for op in (limb.add, limb.mul, limb.div):
     with jax.default_device(cpu):
         c = np.asarray(op(jax.device_put(a, cpu), jax.device_put(b, cpu)))
     assert np.array_equal(t, c), f"limb {op.__name__} differs TPU vs CPU"
+
+# batched MP matmul routing: on the TPU backend, batched products above
+# the per-batch work threshold ride the int8-MXU pipeline
+# (_int_backend_ok includes the 'axon' plugin name); verify the routed
+# result agrees with the CPU naive path at the digitization contract
+from sdpb_tpu.mp import linalg as la
+
+bm = jnp.asarray(limb.from_words_np(
+    rng.standard_normal((4, 64, 40))[..., None], K))
+out_tpu = np.asarray(la.matmul(bm, bm, transpose_b=True))
+with jax.default_device(cpu):
+    bmc = jax.device_put(bm, cpu)
+    out_cpu = np.asarray(la.matmul(bmc, bmc, transpose_b=True))
+ft, fc = limb.fst(jnp.asarray(out_tpu)), limb.fst(jnp.asarray(out_cpu))
+rel = np.abs(np.asarray(ft) - np.asarray(fc)) / np.maximum(
+    np.abs(np.asarray(fc)), 1e-30)
+assert rel.max() < 1e-5, rel.max()
 print("TPU backend OK")
 """
 
