@@ -42,8 +42,8 @@ BUCKETS = [          # (nb, m, pts)
 # is measured at the reduced size on BOTH backends and reported as
 # vs_baseline (the headline value is still the full-size TPU time).
 BUCKETS_SMALL = [
-    (12, 2, 32),
-    (4, 4, 24),
+    (6, 2, 32),
+    (2, 4, 24),
 ]
 REPS = 3
 
@@ -248,7 +248,7 @@ def main():
         )
         env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
         out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=4200)
+                             capture_output=True, text=True, timeout=2700)
         for line in out.stdout.splitlines():
             if line.startswith("RES "):
                 cpu_dt = float(line.split()[1])

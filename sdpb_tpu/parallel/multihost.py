@@ -33,7 +33,10 @@ def maybe_init_distributed() -> bool:
     multi-process.  Must be called before any backend is touched."""
     coord = os.environ.get("SDPB_COORDINATOR")
     if not coord:
-        return jax.process_count() > 1
+        # no coordinator configured: single-process -- return WITHOUT
+        # touching any backend (the caller may still need to select
+        # the platform, which must happen before first backend init)
+        return False
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ["SDPB_NUM_PROCESSES"]),
