@@ -214,13 +214,13 @@ def bench_nmax6():
 
     backend = jax.default_backend()
     if backend in ("tpu", "axon"):
-        params = SolverParams(precision=448, word_dtype="float32")
-        k_read = max(2, -(-448 // 53)) + 1
+        params = SolverParams(precision=PRECISION, word_dtype="float32")
+        k_read = max(2, -(-PRECISION // 53)) + 1
         raw = read_sdp(case, k=k_read)
         problem = bucketize(problem_from_raw(
             raw, dtype=jnp.float32, k=params.n_words))
     else:
-        params = SolverParams(precision=448)
+        params = SolverParams(precision=PRECISION)
         raw = read_sdp(case, k=params.n_words)
         problem = bucketize(problem_from_raw(raw))
     state = initial_bucketed_state(problem, 1e20, 1e20)
@@ -275,7 +275,7 @@ def main():
         print(f"[bench] nmax6 measurement failed: {e}", file=sys.stderr)
     if res6:
         dt6, be6 = res6
-        print(f"[bench] nmax6 (SingletScalar_cT, 448-bit stock flags) "
+        print(f"[bench] nmax6 (SingletScalar_cT, 400-bit stock flags) "
               f"iter={dt6:.2f} s on {be6}; projected 178-iteration "
               f"solve ~{dt6*178/60:.1f} min (SDPB 2.5.1 reference: 178 "
               f"iterations at 768-bit on an HPC cluster, "
