@@ -45,7 +45,20 @@ BUCKETS_SMALL = [
     (6, 2, 32),
     (2, 4, 24),
 ]
-REPS = 3
+REPS = 2
+# Total wall-clock budget (s).  The driver runs bench.py under a hard
+# timeout; auxiliary measurements (CPU ratio, nmax6) are skipped when
+# the budget is spent so the ONE required JSON line always prints.
+BUDGET_S = float(os.environ.get("SDPB_TPU_BENCH_BUDGET", "2100"))
+_T_START = time.time()
+
+
+def _left():
+    return BUDGET_S - (time.time() - _T_START)
+
+
+def _note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def build_problem(params, buckets=None):
@@ -166,7 +179,9 @@ def run_once(reps, buckets=None):
     problem, state = build_problem(params, buckets)
 
     phases = {}
+    t0 = time.time()
     state = timed_iteration(problem, state, params, {})  # warmup/compile
+    _note(f"warmup (compile) {time.time()-t0:.0f}s")
     times = []
     for _ in range(reps):
         t0 = time.time()
@@ -232,63 +247,75 @@ def bench_nmax6():
 
 
 def main():
+    _note(f"budget {BUDGET_S:.0f}s; headline workload compile+run "
+          f"starting (400-bit, stock 1e20 scale)")
     dt, backend, phases = run_once(REPS)
     its = 1.0 / dt
-
-    # TPU/CPU ratio at the reduced workload (see BUCKETS_SMALL note)
-    vs = 0.0
-    cpu_dt = tpu_small_dt = None
-    try:
-        tpu_small_dt, _, _ = run_once(1, BUCKETS_SMALL)
-        code = (
-            "import sys; sys.path.insert(0, %r); "
-            "import bench; dt,_,ph = bench.run_once(1, "
-            "bench.BUCKETS_SMALL); print('RES', dt)"
-            % os.path.dirname(os.path.abspath(__file__))
-        )
-        env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
-        out = subprocess.run([sys.executable, "-c", code], env=env,
-                             capture_output=True, text=True, timeout=2700)
-        for line in out.stdout.splitlines():
-            if line.startswith("RES "):
-                cpu_dt = float(line.split()[1])
-        vs = cpu_dt / tpu_small_dt
-    except Exception:
-        vs = 0.0
-
     macs, n_primes = _syrk_mfu(None)
     split = " ".join(f"{k_}={v*1e3:.0f}ms" for k_, v in
                      sorted(phases.items(), key=lambda kv: -kv[1]))
-    print(f"[bench] backend={backend} 400-bit stock-contract iter="
-          f"{dt*1e3:.0f} ms; reduced-workload ratio: "
-          f"cpu={'%.0f ms' % (cpu_dt*1e3) if cpu_dt else 'n/a'} vs "
-          f"tpu={'%.0f ms' % (tpu_small_dt*1e3) if tpu_small_dt else 'n/a'}"
-          f" -> {vs:.1f}x", file=sys.stderr)
-    print(f"[bench] phase split: {split}", file=sys.stderr)
-    print(f"[bench] Q syrk: {n_primes} primes, {macs/1e9:.1f} G "
+    _note(f"backend={backend} 400-bit stock-contract iter={dt*1e3:.0f} ms")
+    _note(f"phase split: {split}")
+    _note(f"Q syrk: {n_primes} primes, {macs/1e9:.1f} G "
           f"int8-MACs/iter (~{macs/dt/394e12*100:.2f}% of v5e int8 peak "
-          f"if Q were the whole iteration)", file=sys.stderr)
-    try:
-        res6 = bench_nmax6()
-    except Exception as e:
-        res6 = None
-        print(f"[bench] nmax6 measurement failed: {e}", file=sys.stderr)
-    if res6:
-        dt6, be6 = res6
-        print(f"[bench] nmax6 (SingletScalar_cT, 400-bit stock flags) "
-              f"iter={dt6:.2f} s on {be6}; projected 178-iteration "
-              f"solve ~{dt6*178/60:.1f} min (SDPB 2.5.1 reference: 178 "
-              f"iterations at 768-bit on an HPC cluster, "
-              f"end-to-end.test.cxx:289-327; the reference binaries "
-              f"cannot build in this container -- no MPI/Elemental/"
-              f"FLINT/boost toolchain, see BASELINE.md)",
-              file=sys.stderr)
+          f"if Q were the whole iteration)")
+
+    # TPU/CPU ratio at the reduced workload (see BUCKETS_SMALL note).
+    # Skipped (vs_baseline=0) when over budget: the JSON line must print.
+    vs = 0.0
+    cpu_dt = tpu_small_dt = None
+    if _left() > 300:
+        try:
+            tpu_small_dt, _, _ = run_once(1, BUCKETS_SMALL)
+            _note(f"reduced workload on {backend}: "
+                  f"{tpu_small_dt*1e3:.0f} ms; CPU baseline subprocess "
+                  f"({_left():.0f}s left)")
+            code = (
+                "import sys; sys.path.insert(0, %r); "
+                "import bench; dt,_,ph = bench.run_once(1, "
+                "bench.BUCKETS_SMALL); print('RES', dt)"
+                % os.path.dirname(os.path.abspath(__file__))
+            )
+            env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
+            out = subprocess.run(
+                [sys.executable, "-c", code], env=env,
+                capture_output=True, text=True,
+                timeout=max(60, _left() - 120))
+            for line in out.stdout.splitlines():
+                if line.startswith("RES "):
+                    cpu_dt = float(line.split()[1])
+            vs = cpu_dt / tpu_small_dt
+            _note(f"reduced-workload ratio: cpu={cpu_dt*1e3:.0f} ms vs "
+                  f"{backend}={tpu_small_dt*1e3:.0f} ms -> {vs:.1f}x")
+        except Exception as e:
+            _note(f"CPU-ratio measurement skipped: {e!r}")
+            vs = 0.0
+    else:
+        _note("CPU-ratio measurement skipped: over budget")
+
+    if _left() > 180:
+        try:
+            res6 = bench_nmax6()
+        except Exception as e:
+            res6 = None
+            _note(f"nmax6 measurement failed: {e!r}")
+        if res6:
+            dt6, be6 = res6
+            _note(f"nmax6 (SingletScalar_cT, 400-bit stock flags) "
+                  f"iter={dt6:.2f} s on {be6}; projected 178-iteration "
+                  f"solve ~{dt6*178/60:.1f} min (SDPB 2.5.1 reference: 178 "
+                  f"iterations at 768-bit on an HPC cluster, "
+                  f"end-to-end.test.cxx:289-327; the reference binaries "
+                  f"cannot build in this container -- no MPI/Elemental/"
+                  f"FLINT/boost toolchain, see BASELINE.md)")
+    else:
+        _note("nmax6 measurement skipped: over budget")
     print(json.dumps({
         "metric": f"solver_iters_per_s_400bit_{backend}",
         "value": round(its, 4),
         "unit": "iterations/s",
         "vs_baseline": round(vs, 2),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

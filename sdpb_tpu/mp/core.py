@@ -581,16 +581,14 @@ def recip(b: MPArray) -> MPArray:
     return div(one, b)
 
 
-def sqrt(a: MPArray) -> MPArray:
-    """MP sqrt via Newton on 1/sqrt + one Heron correction.
-
-    Negative inputs produce NaN (propagated), mirroring the reference's
-    treatment of failed Cholesky as a precision error."""
+def sqrt_rsqrt(a: MPArray):
+    """(sqrt(a), 1/sqrt(a)); the converged Newton iterate is the
+    full-precision rsqrt, free of charge (see limb.sqrt_rsqrt)."""
     if is_limb(a):
-        return _limb.sqrt(a)
+        return _limb.sqrt_rsqrt(a)
     k = a.shape[-1]
     if k == 1:
-        return jnp.sqrt(a)
+        return jnp.sqrt(a), jax.lax.rsqrt(a)
     y0 = jax.lax.rsqrt(a[..., 0])
     y = _seed(y0, k)
     half = 0.5
@@ -607,7 +605,15 @@ def sqrt(a: MPArray) -> MPArray:
     s = mul(a, y)
     # Heron correction: s <- s + (a - s^2) * y / 2.
     s = add(s, mul_pow2(mul(sub(a, mul(s, s)), y), half))
-    return s
+    return s, y
+
+
+def sqrt(a: MPArray) -> MPArray:
+    """MP sqrt via Newton on 1/sqrt + one Heron correction.
+
+    Negative inputs produce NaN (propagated), mirroring the reference's
+    treatment of failed Cholesky as a precision error."""
+    return sqrt_rsqrt(a)[0]
 
 
 def _seed(w0, k):

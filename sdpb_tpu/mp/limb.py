@@ -65,6 +65,58 @@ _ZERO_E = -(10 ** 7)     # effective exponent of a zero operand
 
 MPArray = jax.Array
 
+# While True (set by ops/limb_kernels.py around Pallas kernel-body
+# tracing), the arithmetic avoids constructs Mosaic cannot lower:
+#   - mul's chunked convolution unrolls to a static loop instead of a
+#     lax.scan (Mosaic scans are carry-only, no xs/ys);
+#   - lane-axis shifts/pads become exact 0/1-matrix contractions
+#     instead of slice+concatenate (Mosaic cannot concatenate
+#     offset-layout lane slices).
+_KERNEL_MODE = False
+
+
+class kernel_mode:
+    def __enter__(self):
+        global _KERNEL_MODE
+        self._prev = _KERNEL_MODE
+        _KERNEL_MODE = True
+
+    def __exit__(self, *exc):
+        global _KERNEL_MODE
+        _KERNEL_MODE = self._prev
+
+
+unrolled_mul = kernel_mode          # historical alias
+
+
+def _lane_take(x, idx):
+    """x[..., idx] for a TRACED index, as an exact one-hot f32
+    contraction (no value-level dynamic_slice exists in Mosaic)."""
+    n = x.shape[-1]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+          == idx).astype(x.dtype)[0]
+    return jnp.sum(x * oh, axis=-1)
+
+
+def _lane_place(x, n_out: int, off: int):
+    """out[..., j] = x[..., j - off] (zero elsewhere): the lane-axis
+    shift/pad as an exact 0/1 contraction.  Values are integer-valued
+    f32 (< 2^24) and each output is a single selected input, so the
+    matmul is exact.  The shift matrix is built from iotas IN the
+    trace: Pallas kernels cannot capture array constants."""
+    n_in = x.shape[-1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    mat = (c - r == off).astype(jnp.float32)
+    # HIGHEST precision: the default MXU f32 path rounds operands to
+    # bf16, which destroys limb exactness (limbs need 10+ mantissa
+    # bits); each output selects exactly one input, so at full f32
+    # precision the contraction is exact.
+    return jax.lax.dot_general(
+        x, mat, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
 
 def n_limbs(a) -> int:
     return a.shape[-1] - 1
@@ -104,13 +156,20 @@ def _build(e, limbs):
     """Assemble the canonical array: clamps the exponent, canonicalizes
     zero (all-zero limbs -> x0 = 0), folds limb NaN/Inf into slot 0."""
     s = jnp.sum(limbs, axis=-1)
-    zero = jnp.all(limbs == 0.0, axis=-1)
+    zero = _is_zero_vec(limbs)
     x0 = (jnp.clip(e, -EOFF, EOFF - 1) + EOFF).astype(limbs.dtype) + 0.0 * s
     x0 = jnp.where(zero, 0.0 * s, x0)
+    if _KERNEL_MODE:
+        L = limbs.shape[-1]
+        return (_lane_place(x0[..., None], 1 + L, 0)
+                + _lane_place(limbs, 1 + L, 1))
     return jnp.concatenate([x0[..., None], limbs], axis=-1)
 
 
 def _shift_sliced(limbs, amount: int, left: bool):
+    if _KERNEL_MODE:
+        return _lane_place(limbs, limbs.shape[-1],
+                           -amount if left else amount)
     z = jnp.zeros(limbs.shape[:-1] + (amount,), limbs.dtype)
     if left:
         return jnp.concatenate([limbs[..., amount:], z], axis=-1)
@@ -126,10 +185,10 @@ def _barrel_shift(limbs, s, left: bool):
     bit = 1
     while bit < n:
         take = (s & bit) != 0
-        limbs = jnp.where(take[..., None],
+        limbs = jnp.where(_em(take),
                           _shift_sliced(limbs, bit, left), limbs)
         bit <<= 1
-    return jnp.where(full[..., None], jnp.zeros_like(limbs), limbs)
+    return jnp.where(_em(full), jnp.zeros_like(limbs), limbs)
 
 
 def _carry(limbs, passes: int):
@@ -140,16 +199,38 @@ def _carry(limbs, passes: int):
     for _ in range(passes):
         q = jnp.round(limbs * _INV_BETA)
         r = limbs - q * BETA
-        limbs = r + jnp.concatenate(
-            [q[..., 1:], jnp.zeros_like(q[..., :1])], axis=-1)
+        if _KERNEL_MODE:
+            limbs = r + _lane_place(q, q.shape[-1], -1)
+        else:
+            limbs = r + jnp.concatenate(
+                [q[..., 1:], jnp.zeros_like(q[..., :1])], axis=-1)
     return limbs
 
 
+def _em(m):
+    """Expand a bool mask with a trailing size-1 axis, Mosaic-safely:
+    i1 minor-dim reshapes have no Pallas TPU lowering, so widen to f32
+    first and compare after the reshape."""
+    return m.astype(jnp.float32)[..., None] != 0.0
+
+
+def _is_zero_vec(limbs):
+    """all(limbs == 0) along the last axis, as an f32 max reduction:
+    Mosaic (Pallas TPU) lowers f32 reductions everywhere, while bool
+    and/or reductions (and argmax) hit unsupported-type paths."""
+    return jnp.max(jnp.abs(limbs), axis=-1) == 0.0
+
+
 def _leading_zeros(limbs):
+    n = limbs.shape[-1]
     nz = limbs != 0.0
-    any_nz = jnp.any(nz, axis=-1)
-    z = jnp.argmax(nz, axis=-1).astype(jnp.int32)
-    return jnp.where(any_nz, z, limbs.shape[-1]), any_nz
+    # first-nonzero index as a masked f32 min reduction (argmax has no
+    # robust Mosaic lowering)
+    idx = jax.lax.broadcasted_iota(jnp.int32, limbs.shape,
+                                   limbs.ndim - 1).astype(jnp.float32)
+    z = jnp.min(jnp.where(nz, idx, np.float32(n)),
+                axis=-1).astype(jnp.int32)
+    return z, z < n
 
 
 def _renorm(e_top, ext, L_out: int, passes: int):
@@ -170,13 +251,15 @@ def _renorm(e_top, ext, L_out: int, passes: int):
     e = jnp.asarray(e_top, jnp.int32) - z
     under = (e < -EOFF) & any_nz
     over = (e >= EOFF) & any_nz
-    ext = jnp.where(under[..., None], 0.0, ext)
-    ext = jnp.where(over[..., None],
+    ext = jnp.where(_em(under), 0.0, ext)
+    ext = jnp.where(_em(over),
                     jnp.where(ext[..., :1] > 0, jnp.inf, -jnp.inf), ext)
     return _build(e, ext)
 
 
 def _heads(limbs, n_head: int):
+    if _KERNEL_MODE:
+        return _lane_place(limbs, limbs.shape[-1] + n_head, n_head)
     return jnp.concatenate(
         [jnp.zeros(limbs.shape[:-1] + (n_head,), limbs.dtype), limbs],
         axis=-1)
@@ -187,6 +270,8 @@ def _offset_add(acc, contrib, off: int):
     acc's trailing size minus off)."""
     if off == 0:
         return acc + contrib
+    if _KERNEL_MODE:
+        return acc + _lane_place(contrib, acc.shape[-1], off)
     z = jnp.zeros(contrib.shape[:-1] + (off,), acc.dtype)
     return acc + jnp.concatenate([z, contrib], axis=-1)
 
@@ -250,7 +335,7 @@ def from_float(x, k_slots: int) -> MPArray:
                   from_float(lo, k_slots))
         out = scale_pow2_bits(out, e64.astype(jnp.int32))
         bad = ~jnp.isfinite(x)
-        return jnp.where(bad[..., None],
+        return jnp.where(_em(bad),
                          from_float(x.astype(jnp.float32), k_slots), out)
     x = x.astype(jnp.float32)
     e_x, ls = _float_limbs(x)
@@ -261,11 +346,15 @@ def from_float(x, k_slots: int) -> MPArray:
     # fst/lead/compares see a proper infinity (the solver's lambda_min
     # accumulator starts at +inf); NaN poisons every slot.
     isinf = jnp.isinf(x)
-    infv = jnp.zeros(x.shape + (k_slots,), jnp.float32)
-    infv = infv.at[..., 0].set(2 * EOFF - 1).at[..., 1].set(x)
-    out = jnp.where(isinf[..., None], infv, out)
+    # build via a slot mask, not .at[].set: static scatters have no
+    # Mosaic lowering inside Pallas kernel bodies
+    slot = jax.lax.broadcasted_iota(jnp.int32, x.shape + (k_slots,),
+                                    x.ndim)
+    infv = jnp.where(slot == 0, np.float32(2 * EOFF - 1),
+                     jnp.where(slot == 1, x[..., None], 0.0))
+    out = jnp.where(_em(isinf), infv, out)
     nanm = jnp.isnan(x)
-    return jnp.where(nanm[..., None], jnp.nan, out)
+    return jnp.where(_em(nanm), jnp.nan, out)
 
 
 def const_word(x, k_slots: int) -> MPArray:
@@ -413,8 +502,8 @@ def add(a: MPArray, b: MPArray) -> MPArray:
     a, b = _broadcast_pair(a, b)
     ea, la = _split(a)
     eb, lb = _split(b)
-    za = jnp.all(la == 0.0, axis=-1)
-    zb = jnp.all(lb == 0.0, axis=-1)
+    za = _is_zero_vec(la)
+    zb = _is_zero_vec(lb)
     ea_ = jnp.where(za, _ZERO_E, ea)
     eb_ = jnp.where(zb, _ZERO_E, eb)
     e = jnp.maximum(ea_, eb_)
@@ -423,7 +512,7 @@ def add(a: MPArray, b: MPArray) -> MPArray:
     ext = _heads(la + lb, 1)
     out = _renorm(e + 1, ext, L, passes=1)
     nan = ~(jnp.isfinite(a[..., 0]) & jnp.isfinite(b[..., 0]))
-    return jnp.where(nan[..., None], _nan_like(out, a, b), out)
+    return jnp.where(_em(nan), _nan_like(out, a, b), out)
 
 
 def _nan_like(out, *ins):
@@ -449,8 +538,11 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     ea, la = _split(a)
     eb, lb = _split(b)
     n_out = L + G
-    zpad = jnp.zeros(la.shape[:-1] + (G,), la.dtype)
-    lbp = jnp.concatenate([lb, zpad], axis=-1)          # (..., L+G)
+    if _KERNEL_MODE:
+        lbp = _lane_place(lb, L + G, 0)
+    else:
+        zpad = jnp.zeros(la.shape[:-1] + (G,), la.dtype)
+        lbp = jnp.concatenate([lb, zpad], axis=-1)      # (..., L+G)
     # Chunked Horner-scan convolution: process CHUNK limbs per scan
     # step -- acc <- shift_right_CHUNK(acc) + sum_j la_{c+j} *
     # shift_right_j(lbp).  A scan keeps ONE accumulator live (a fully
@@ -469,24 +561,50 @@ def mul(a: MPArray, b: MPArray) -> MPArray:
     la_c = la_t.reshape((Lp // CHUNK, CHUNK) + la.shape[:-1])
 
     def step(acc, chunk):
-        acc = jnp.concatenate(
-            [jnp.zeros(acc.shape[:-1] + (CHUNK,), acc.dtype),
-             acc[..., :-CHUNK]], axis=-1)
+        if _KERNEL_MODE:
+            acc = _lane_place(acc, acc.shape[-1], CHUNK)
+        else:
+            acc = jnp.concatenate(
+                [jnp.zeros(acc.shape[:-1] + (CHUNK,), acc.dtype),
+                 acc[..., :-CHUNK]], axis=-1)
         for j in range(CHUNK):
             contrib = chunk[j][..., None] * lbp
             if j:
-                contrib = jnp.concatenate(
-                    [jnp.zeros(contrib.shape[:-1] + (j,), acc.dtype),
-                     contrib[..., :-j]], axis=-1)
+                if _KERNEL_MODE:
+                    contrib = _lane_place(contrib, contrib.shape[-1], j)
+                else:
+                    contrib = jnp.concatenate(
+                        [jnp.zeros(contrib.shape[:-1] + (j,), acc.dtype),
+                         contrib[..., :-j]], axis=-1)
             acc = acc + contrib
         return acc, None
 
     acc0 = jnp.zeros(la.shape[:-1] + (n_out,), la.dtype)
-    acc, _ = jax.lax.scan(step, acc0, la_c, reverse=True)
+    if _KERNEL_MODE:
+        # carry-only fori (Mosaic scans cannot carry xs, and a fully
+        # unrolled loop blows the kernel VMEM stack): the chunk limbs
+        # are extracted with dynamic one-hot contractions.
+        n_chunks = la_c.shape[0]
+
+        def kbody(ci, acc):
+            ci = jnp.asarray(ci, jnp.int32)
+            acc = _lane_place(acc, n_out, CHUNK)
+            c0 = (n_chunks - 1 - ci) * CHUNK
+            for j in range(CHUNK):
+                aj = _lane_take(la, c0 + j)
+                contrib = aj[..., None] * lbp
+                if j:
+                    contrib = _lane_place(contrib, n_out, j)
+                acc = acc + contrib
+            return acc
+
+        acc = jax.lax.fori_loop(0, n_chunks, kbody, acc0)
+    else:
+        acc, _ = jax.lax.scan(step, acc0, la_c, reverse=True)
     ext = _heads(acc, 2)
     out = _renorm(ea + eb + 2, ext, L, passes=3)
     nan = ~(jnp.isfinite(a[..., 0]) & jnp.isfinite(b[..., 0]))
-    return jnp.where(nan[..., None], _nan_like(out, a, b), out)
+    return jnp.where(_em(nan), _nan_like(out, a, b), out)
 
 
 def _scalar_operand(a, x):
@@ -507,8 +625,11 @@ def mul_float(a: MPArray, x) -> MPArray:
     e_x, xs = _float_limbs(x)                    # (..., 4)
     n_out = L + 2
     acc = jnp.zeros(la.shape[:-1] + (n_out,), la.dtype)
-    lap = jnp.concatenate(
-        [la, jnp.zeros(la.shape[:-1] + (2,), la.dtype)], axis=-1)
+    if _KERNEL_MODE:
+        lap = _lane_place(la, L + 2, 0)
+    else:
+        lap = jnp.concatenate(
+            [la, jnp.zeros(la.shape[:-1] + (2,), la.dtype)], axis=-1)
     for t in range(4):
         if t >= n_out:
             break
@@ -518,9 +639,9 @@ def mul_float(a: MPArray, x) -> MPArray:
     # weight BETA^(ea - i); acc slot (i + t) weight BETA^(ea+e_x-1-(i+t))
     out = _renorm(ea + e_x - 1 + 2, _heads(acc, 2), L, passes=3)
     zx = x == 0.0
-    out = jnp.where(zx[..., None], jnp.zeros_like(out), out)
+    out = jnp.where(_em(zx), jnp.zeros_like(out), out)
     nan = ~(jnp.isfinite(a[..., 0]) & jnp.isfinite(x))
-    return jnp.where(nan[..., None], _nan_like(out, a), out)
+    return jnp.where(_em(nan), _nan_like(out, a), out)
 
 
 def mul_pow2(a: MPArray, c) -> MPArray:
@@ -578,15 +699,17 @@ def div(a: MPArray, b: MPArray) -> MPArray:
     qd = jnp.moveaxis(qd, 0, -1)                 # (..., nd)
     # digit q_i (i = 0..nd-1) has weight BETA^(ea - eb - i)
     out = _renorm(ea - eb + 2, _heads(qd, 2), L, passes=3)
-    bzero = jnp.all(lb == 0.0, axis=-1)
-    azero = jnp.all(la == 0.0, axis=-1)
+    bzero = _is_zero_vec(lb)
+    azero = _is_zero_vec(la)
     sgn_a = jnp.sign(la[..., 0])
-    infv = jnp.full_like(out, jnp.nan)
-    infv = infv.at[..., 1].set(jnp.where(sgn_a < 0, -jnp.inf, jnp.inf))
-    out = jnp.where((bzero & ~azero)[..., None], infv, out)
-    out = jnp.where((bzero & azero)[..., None], jnp.nan, out)
+    slot = jax.lax.broadcasted_iota(jnp.int32, out.shape, out.ndim - 1)
+    infv = jnp.where(slot == 1,
+                     jnp.where(sgn_a < 0, -jnp.inf, jnp.inf)[..., None],
+                     jnp.nan)
+    out = jnp.where(_em(bzero & ~azero), infv, out)
+    out = jnp.where(_em(bzero & azero), jnp.nan, out)
     nan = ~(jnp.isfinite(a[..., 0]) & jnp.isfinite(b[..., 0]))
-    return jnp.where(nan[..., None], _nan_like(out, a, b), out)
+    return jnp.where(_em(nan), _nan_like(out, a, b), out)
 
 
 def recip(b: MPArray) -> MPArray:
@@ -594,8 +717,14 @@ def recip(b: MPArray) -> MPArray:
                           b.shape[-1]), b)
 
 
-def sqrt(a: MPArray) -> MPArray:
-    """Newton on 1/sqrt + one Heron correction.  Negative -> NaN."""
+def sqrt_rsqrt(a: MPArray):
+    """(sqrt(a), 1/sqrt(a)) by Newton on 1/sqrt + one Heron correction
+    for the sqrt.  Negative -> NaN; zero -> (0, +inf).
+
+    The converged Newton iterate IS the full-precision reciprocal
+    square root, so callers that need to DIVIDE by sqrt(a) (Cholesky
+    column scaling, triangular-solve diagonals) get it for free --
+    turning a long-division scan per element into one multiply."""
     L = n_limbs(a)
     k_slots = a.shape[-1]
     ea, la = _split(a)
@@ -608,14 +737,28 @@ def sqrt(a: MPArray) -> MPArray:
     y = scale_limb_exp(y, -e2)
     half = np.float32(0.5)
     n_steps = max(3, int(np.ceil(np.log2(max(2.0, B * L / 11.0)))))
-    for _ in range(n_steps):
+
+    def newton(_, y):
         ay2 = mul(a, mul(y, y))
         corr = mul_float(mul(y, add_float(-ay2, 1.0)), half)
-        y = add(y, corr)
+        return add(y, corr)
+
+    # fori_loop keeps the graph size independent of the step count
+    # (matters doubly inside Pallas kernel bodies, where Mosaic's
+    # lowering recursion scales with body op count).
+    y = jax.lax.fori_loop(0, n_steps, newton, y)
     s = mul(a, y)
     s = add(s, mul_float(mul(sub(a, mul(s, s)), y), half))
-    azero = jnp.all(la == 0.0, axis=-1)
-    return jnp.where(azero[..., None], jnp.zeros_like(s), s)
+    azero = _is_zero_vec(la)
+    inf = from_float(jnp.full(a.shape[:-1], jnp.inf, jnp.float32),
+                     k_slots)
+    return (jnp.where(_em(azero), jnp.zeros_like(s), s),
+            jnp.where(_em(azero), inf, y))
+
+
+def sqrt(a: MPArray) -> MPArray:
+    """Newton on 1/sqrt + one Heron correction.  Negative -> NaN."""
+    return sqrt_rsqrt(a)[0]
 
 
 def add_float(a: MPArray, x) -> MPArray:
@@ -625,11 +768,11 @@ def add_float(a: MPArray, x) -> MPArray:
 def scale_limb_exp(a: MPArray, d) -> MPArray:
     """a * BETA^d for integer (array) d -- exact, exponent-only."""
     e, limbs = _split(a)
-    nz = ~jnp.all(limbs == 0.0, axis=-1)
+    nz = ~_is_zero_vec(limbs)
     e = jnp.where(nz, e + jnp.asarray(d, jnp.int32), e)
     out = _build(e, limbs)
     nan = ~jnp.isfinite(a[..., 0])
-    return jnp.where(nan[..., None], a, out)
+    return jnp.where(_em(nan), a, out)
 
 
 def scale_pow2_bits(a: MPArray, t) -> MPArray:
@@ -642,14 +785,14 @@ def scale_pow2_bits(a: MPArray, t) -> MPArray:
     limbs = limbs * jnp.exp2(r.astype(limbs.dtype))[..., None]
     out = _renorm(e + q + 1, _heads(limbs, 1), n_limbs(a), passes=1)
     nan = ~jnp.isfinite(a[..., 0])
-    return jnp.where(nan[..., None], _nan_like(out, a), out)
+    return jnp.where(_em(nan), _nan_like(out, a), out)
 
 
 def exponent_bits(a: MPArray):
     """int32 upper bound: |value| < 2^exponent_bits (for the CRT column
     normalization, the reference's `Matrix_Normalizer.cxx` role)."""
     e, limbs = _split(a)
-    zero = jnp.all(limbs == 0.0, axis=-1)
+    zero = _is_zero_vec(limbs)
     return jnp.where(zero, _ZERO_E, B * (e + 1))
 
 

@@ -185,8 +185,23 @@ def frobenius(a: MPArray, b: MPArray) -> MPArray:
 # bulk runs as MP matmuls (vectorized expansion products), and only the
 # O(n * panel) panel factorizations stay sequential.  Padding to a panel
 # multiple uses an identity diagonal, which factors/solves trivially.
+#
+# On TPU with the limb word format, the sequential panel work routes to
+# Pallas kernels (ops/limb_kernels.py) that keep the substitution /
+# factorization state VMEM-resident -- the XLA loops re-sweep the full
+# working set through HBM on every MP op and are memory-bound by >100x.
 
 _PANEL = 32
+
+# Pallas panel kernels keep (rows, _PANEL, S) slabs + conv temps in
+# VMEM (~16 MB); beyond this row count fall back to the XLA path.
+_KERNEL_MAX_ROWS = 512
+
+
+def _kernels_on(a) -> bool:
+    from ..ops import limb_kernels as lk
+
+    return core.is_limb(a) and lk.enabled()
 
 
 @jax.jit
@@ -194,13 +209,18 @@ def _cholesky_unblocked(a: MPArray) -> MPArray:
     """Unblocked right-looking Cholesky (n,n,K); non-PD inputs yield
     NaNs, which the solver treats as a precision failure exactly as the
     reference treats Elemental's non-HPD exception
-    (`docs/Usage.md:270-273`)."""
+    (`docs/Usage.md:270-273`).
+
+    Column scaling multiplies by the pivot's rsqrt (a Newton byproduct
+    of the pivot sqrt) instead of dividing: MP long division is a
+    ~(K+2)-step sequential scan PER ELEMENT and sat on the critical
+    path of every column."""
     n, k = a.shape[-3], a.shape[-1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
 
     def body(j, mat):
-        d = core.sqrt(mat[j, j])
-        col = core.div(mat[:, j], jnp.broadcast_to(d, (n, k)))
+        d, dinv = core.sqrt_rsqrt(mat[j, j])
+        col = core.mul(mat[:, j], jnp.broadcast_to(dinv, (n, k)))
         below = rows > j
         col = jnp.where(
             below[:, None], col, jnp.where((rows == j)[:, None], d[None, :], 0.0)
@@ -227,6 +247,36 @@ def _pad_identity(a: MPArray, npad: int) -> MPArray:
     return out.at[idx, idx, :].set(onev)
 
 
+def _cholesky_limb_batched(a: MPArray) -> MPArray:
+    """Batched limb Cholesky through the Pallas panel kernels;
+    a (BB, n, n, S)."""
+    from ..ops import limb_kernels as lk
+
+    BB, n, k = a.shape[0], a.shape[-3], a.shape[-1]
+    nb = _PANEL
+    if n <= 2 * nb:
+        return lk.cholesky_unblocked_batched(a)
+    npad = (-n) % nb
+    if npad:
+        a = jax.vmap(lambda m: _pad_identity(m, npad))(a)
+    N = n + npad
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+
+    def panel_step(pi, mat):
+        j = pi * nb
+        C = jax.lax.dynamic_slice(mat, (0, 0, j, 0), (BB, N, nb, k))
+        C = jnp.where((rows >= j)[:, None, None], C, 0.0)
+        C = lk.cholesky_panel_batched(C, j)
+        mat = jax.lax.dynamic_update_slice(mat, C, (0, 0, j, 0))
+        P = jnp.where((rows >= j + nb)[:, None, None], C, 0.0)
+        return core.add(mat, core.neg(matmul(P, P, transpose_b=True)))
+
+    out = jax.lax.fori_loop(0, N // nb, panel_step, a)
+    lower_mask = (rows[:, None] >= rows[None, :])[:, :, None]
+    out = jnp.where(lower_mask, out, 0.0)
+    return out[:, :n, :n] if npad else out
+
+
 @jax.jit
 def cholesky(a: MPArray) -> MPArray:
     """Lower Cholesky of a symmetric positive-definite MP matrix (n,n,K).
@@ -236,6 +286,10 @@ def cholesky(a: MPArray) -> MPArray:
     matmul (`Elemental's blocked Cholesky, used by the reference's
     run/cholesky_decomposition.cxx`)."""
     n, k = a.shape[-3], a.shape[-1]
+    if _kernels_on(a) and n <= _KERNEL_MAX_ROWS:
+        batch = a.shape[:-3]
+        out = _cholesky_limb_batched(a.reshape((-1,) + a.shape[-3:]))
+        return out.reshape(batch + out.shape[1:])
     if a.ndim > 3:
         return jax.vmap(cholesky)(a)
     nb = _PANEL
@@ -249,8 +303,8 @@ def cholesky(a: MPArray) -> MPArray:
 
     def col_step(j, t, C):
         piv = jax.lax.dynamic_slice(C, (j + t, t, 0), (1, 1, k))[0, 0]
-        d = core.sqrt(piv)
-        col = core.div(C[:, t], jnp.broadcast_to(d, (N, k)))
+        d, dinv = core.sqrt_rsqrt(piv)
+        col = core.mul(C[:, t], jnp.broadcast_to(dinv, (N, k)))
         below = rows > (j + t)
         col = jnp.where(below[:, None], col,
                         jnp.where((rows == j + t)[:, None], d[None, :], 0.0))
@@ -275,23 +329,105 @@ def cholesky(a: MPArray) -> MPArray:
     return out[:n, :n] if npad else out
 
 
+def _inv_diag(l: MPArray) -> MPArray:
+    """Reciprocals of the diagonal, (n, K) -- ONE vectorized MP
+    division for the whole matrix, hoisted out of the sequential
+    substitution loops (long division is a ~(K+2)-step scan; doing it
+    per row put it on the critical path n times)."""
+    return core.recip(diag(l))
+
+
 @jax.jit
-def _solve_lower_unblocked(l: MPArray, b: MPArray) -> MPArray:
+def _solve_lower_unblocked(l: MPArray, b: MPArray,
+                           inv_d: MPArray | None = None) -> MPArray:
     """X = L^{-1} B by forward substitution; L (n,n,K) lower, B (n,m,K)."""
     n, k = l.shape[-3], l.shape[-1]
     m = b.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    if inv_d is None:
+        inv_d = _inv_diag(l)
 
     def body(i, x):
         # s = B[i] - sum_{t<i} L[i,t] x[t]
         li = jnp.where((rows < i)[:, None], l[i, :, :], 0.0)  # (n,K)
         acc = core.sum_(core.mul(li[:, None, :], x), axis=0)  # (m,K)
         s = core.sub(b[i], acc)
-        xi = core.div(s, jnp.broadcast_to(l[i, i], (m, k)))
+        xi = core.mul(s, jnp.broadcast_to(inv_d[i], (m, k)))
         return jax.lax.dynamic_update_slice(x, xi[None, :, :], (i, 0, 0))
 
     x0 = jnp.zeros_like(b)
     return jax.lax.fori_loop(0, n, body, x0)
+
+
+def _solve_limb_batched(l: MPArray, b: MPArray,
+                        transpose: bool) -> MPArray:
+    """Batched limb triangular solve through the Pallas kernels;
+    l (BB, n, n, S), b (BB, n, m, S)."""
+    from ..ops import limb_kernels as lk
+
+    BB, n, k = l.shape[0], l.shape[-3], l.shape[-1]
+    m = b.shape[-2]
+    nb = _PANEL
+    didx = jnp.arange(n)
+    inv_d = core.recip(l[:, didx, didx, :])      # (BB, n, S)
+    if n <= 2 * nb:
+        return lk.solve_unblocked_batched(l, b, inv_d, transpose=transpose)
+    npad = (-n) % nb
+    if npad:
+        l = jax.vmap(lambda mm: _pad_identity(mm, npad))(l)
+        b = jnp.concatenate(
+            [b, jnp.zeros((BB, npad, m, k), b.dtype)], axis=1)
+        onev = jnp.asarray(core.one_np(k, l.dtype))
+        inv_d = jnp.concatenate(
+            [inv_d, jnp.broadcast_to(onev, (BB, npad, k))], axis=1)
+    N = n + npad
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    npanels = N // nb
+
+    def fwd_step(pi, x):
+        j = pi * nb
+        l11 = jax.lax.dynamic_slice(l, (0, j, j, 0), (BB, nb, nb, k))
+        bp = jax.lax.dynamic_slice(x, (0, j, 0, 0), (BB, nb, m, k))
+        dp = jax.lax.dynamic_slice(inv_d, (0, j, 0), (BB, nb, k))
+        xp = lk.solve_unblocked_batched(l11, bp, dp, transpose=False)
+        x = jax.lax.dynamic_update_slice(x, xp, (0, j, 0, 0))
+        lcol = jax.lax.dynamic_slice(l, (0, 0, j, 0), (BB, N, nb, k))
+        lcol = jnp.where((rows >= j + nb)[:, None, None], lcol, 0.0)
+        return core.add(x, core.neg(matmul(lcol, xp)))
+
+    def bwd_step(t, x):
+        j = (npanels - 1 - t) * nb
+        l11 = jax.lax.dynamic_slice(l, (0, j, j, 0), (BB, nb, nb, k))
+        bp = jax.lax.dynamic_slice(x, (0, j, 0, 0), (BB, nb, m, k))
+        dp = jax.lax.dynamic_slice(inv_d, (0, j, 0), (BB, nb, k))
+        xp = lk.solve_unblocked_batched(l11, bp, dp, transpose=True)
+        x = jax.lax.dynamic_update_slice(x, xp, (0, j, 0, 0))
+        lrow = jax.lax.dynamic_slice(l, (0, j, 0, 0), (BB, nb, N, k))
+        lrow = jnp.where((rows < j)[None, :, None], lrow, 0.0)
+        return core.add(x, core.neg(matmul(lrow, xp, transpose_a=True)))
+
+    out = jax.lax.fori_loop(0, npanels, bwd_step if transpose else fwd_step,
+                            b)
+    return out[:, :n] if npad else out
+
+
+def _route_limb_solve(l, b, transpose: bool):
+    """Reshape arbitrary (batch..., n, n, S) solves onto the batched
+    Pallas path; returns None when the kernels do not apply."""
+    n = l.shape[-3]
+    if not (_kernels_on(l) and n <= _KERNEL_MAX_ROWS):
+        return None
+    vec = b.ndim == l.ndim - 1                   # (..., n, S) rhs
+    if vec:
+        b = b[..., None, :]
+    batch = l.shape[:-3]
+    if b.shape[:-3] != batch:
+        return None
+    out = _solve_limb_batched(
+        l.reshape((-1,) + l.shape[-3:]), b.reshape((-1,) + b.shape[-3:]),
+        transpose)
+    out = out.reshape(batch + out.shape[1:])
+    return out[..., 0, :] if vec else out
 
 
 @jax.jit
@@ -299,6 +435,9 @@ def solve_lower(l: MPArray, b: MPArray) -> MPArray:
     """X = L^{-1} B, panel-blocked forward substitution: per panel one
     small unblocked solve plus one MP matmul update of the rows below."""
     n, k = l.shape[-3], l.shape[-1]
+    routed = _route_limb_solve(l, b, transpose=False)
+    if routed is not None:
+        return routed
     if l.ndim > 3:
         return jax.vmap(solve_lower)(l, b)
     if b.ndim == 2:
@@ -314,12 +453,14 @@ def solve_lower(l: MPArray, b: MPArray) -> MPArray:
             [b, jnp.zeros((npad, m, k), b.dtype)], axis=0)
     N = n + npad
     rows = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    inv_d = _inv_diag(l)                         # (N, K), one vector op
 
     def panel_step(pi, x):
         j = pi * nb
         l11 = jax.lax.dynamic_slice(l, (j, j, 0), (nb, nb, k))
         bp = jax.lax.dynamic_slice(x, (j, 0, 0), (nb, m, k))
-        xp = _solve_lower_unblocked(l11, bp)
+        dp = jax.lax.dynamic_slice(inv_d, (j, 0), (nb, k))
+        xp = _solve_lower_unblocked.__wrapped__(l11, bp, dp)
         x = jax.lax.dynamic_update_slice(x, xp, (j, 0, 0))
         lcol = jax.lax.dynamic_slice(l, (0, j, 0), (N, nb, k))
         lcol = jnp.where((rows >= j + nb)[:, None, None], lcol, 0.0)
@@ -330,11 +471,14 @@ def solve_lower(l: MPArray, b: MPArray) -> MPArray:
 
 
 @jax.jit
-def _solve_lower_t_unblocked(l: MPArray, b: MPArray) -> MPArray:
+def _solve_lower_t_unblocked(l: MPArray, b: MPArray,
+                             inv_d: MPArray | None = None) -> MPArray:
     """X = L^{-T} B by backward substitution."""
     n, k = l.shape[-3], l.shape[-1]
     m = b.shape[-2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    if inv_d is None:
+        inv_d = _inv_diag(l)
 
     def body(t, x):
         i = n - 1 - t
@@ -342,7 +486,7 @@ def _solve_lower_t_unblocked(l: MPArray, b: MPArray) -> MPArray:
         ci = jnp.where((rows > i)[:, None], l[:, i, :], 0.0)  # (n,K)
         acc = core.sum_(core.mul(ci[:, None, :], x), axis=0)
         s = core.sub(b[i], acc)
-        xi = core.div(s, jnp.broadcast_to(l[i, i], (m, k)))
+        xi = core.mul(s, jnp.broadcast_to(inv_d[i], (m, k)))
         return jax.lax.dynamic_update_slice(x, xi[None, :, :], (i, 0, 0))
 
     x0 = jnp.zeros_like(b)
@@ -353,6 +497,9 @@ def _solve_lower_t_unblocked(l: MPArray, b: MPArray) -> MPArray:
 def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
     """X = L^{-T} B, panel-blocked backward substitution."""
     n, k = l.shape[-3], l.shape[-1]
+    routed = _route_limb_solve(l, b, transpose=True)
+    if routed is not None:
+        return routed
     if l.ndim > 3:
         return jax.vmap(solve_lower_t)(l, b)
     if b.ndim == 2:
@@ -369,12 +516,14 @@ def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
     N = n + npad
     cols = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
     npanels = N // nb
+    inv_d = _inv_diag(l)                         # (N, K), one vector op
 
     def panel_step(t, x):
         j = (npanels - 1 - t) * nb
         l11 = jax.lax.dynamic_slice(l, (j, j, 0), (nb, nb, k))
         bp = jax.lax.dynamic_slice(x, (j, 0, 0), (nb, m, k))
-        xp = _solve_lower_t_unblocked(l11, bp)
+        dp = jax.lax.dynamic_slice(inv_d, (j, 0), (nb, k))
+        xp = _solve_lower_t_unblocked.__wrapped__(l11, bp, dp)
         x = jax.lax.dynamic_update_slice(x, xp, (j, 0, 0))
         # rows r < j depend on L[j:j+nb, r]^T: x[:j] -= L_panel^T xp
         lrow = jax.lax.dynamic_slice(l, (j, 0, 0), (nb, N, k))
