@@ -248,8 +248,13 @@ def _pad_identity(a: MPArray, npad: int) -> MPArray:
 
 
 def _cholesky_limb_batched(a: MPArray) -> MPArray:
-    """Batched limb Cholesky through the Pallas panel kernels;
-    a (BB, n, n, S)."""
+    """Batched limb Cholesky via the Pallas kernels; a (BB, n, n, S).
+
+    Blocked right-looking with the panel step decomposed as
+    L11 = chol(A11) (unblocked kernel on the nb x nb diagonal block)
+    and L21 = A21 L11^{-T} (the rhs-tiled solve kernel on the panel
+    transposed) -- so per-program VMEM use is independent of n; the
+    trailing update is an MP matmul on the int8-MXU path."""
     from ..ops import limb_kernels as lk
 
     BB, n, k = a.shape[0], a.shape[-3], a.shape[-1]
@@ -261,14 +266,23 @@ def _cholesky_limb_batched(a: MPArray) -> MPArray:
         a = jax.vmap(lambda m: _pad_identity(m, npad))(a)
     N = n + npad
     rows = jax.lax.broadcasted_iota(jnp.int32, (N,), 0)
+    didx = jnp.arange(nb)
 
     def panel_step(pi, mat):
         j = pi * nb
+        a11 = jax.lax.dynamic_slice(mat, (0, j, j, 0), (BB, nb, nb, k))
+        l11 = lk.cholesky_unblocked_batched(a11)
+        inv_d = core.recip(l11[:, didx, didx, :])
         C = jax.lax.dynamic_slice(mat, (0, 0, j, 0), (BB, N, nb, k))
-        C = jnp.where((rows >= j)[:, None, None], C, 0.0)
-        C = lk.cholesky_panel_batched(C, j)
-        mat = jax.lax.dynamic_update_slice(mat, C, (0, 0, j, 0))
-        P = jnp.where((rows >= j + nb)[:, None, None], C, 0.0)
+        # right-solve the whole column slab (rows outside (j+nb, N)
+        # produce garbage and are masked below): L21^T = L11^{-1} C^T
+        x = lk.solve_unblocked_batched(
+            l11, jnp.swapaxes(C, 1, 2), inv_d)
+        l21 = jnp.swapaxes(x, 1, 2)                       # (BB, N, nb, S)
+        slab = jnp.where((rows >= j + nb)[:, None, None], l21, 0.0)
+        slab = jax.lax.dynamic_update_slice(slab, l11, (0, j, 0, 0))
+        mat = jax.lax.dynamic_update_slice(mat, slab, (0, 0, j, 0))
+        P = jnp.where((rows >= j + nb)[:, None, None], slab, 0.0)
         return core.add(mat, core.neg(matmul(P, P, transpose_b=True)))
 
     out = jax.lax.fori_loop(0, N // nb, panel_step, a)

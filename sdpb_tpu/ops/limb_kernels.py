@@ -229,78 +229,3 @@ def cholesky_unblocked_batched(a, interpret: bool = False):
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(a)
-
-
-# ---------------------------------------------------------------------------
-# Batched panel Cholesky step (for the blocked path: factor one
-# (rows, nb) column slab whose diagonal block starts at row j0)
-# ---------------------------------------------------------------------------
-
-def _chol_panel_kernel(c_ref, j0_ref, out_ref, *, rows_n: int, nb: int):
-    with limb.unrolled_mul():
-        _chol_panel_body(c_ref, j0_ref, out_ref, rows_n=rows_n, nb=nb)
-
-
-def _chol_panel_body(c_ref, j0_ref, out_ref, *, rows_n: int, nb: int):
-    # out_ref doubles as the in-place working slab (rows_n, nb, S).
-    out_ref[0] = c_ref[0]
-    j0 = j0_ref[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_n, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-
-    def body(t, carry):
-        t = jnp.asarray(t, jnp.int32)
-        piv = out_ref[0, pl.ds(j0 + t, 1), pl.ds(t, 1)][0]      # (1, S)
-        d, dinv = limb.sqrt_rsqrt(piv)
-        colt = out_ref[0, :, pl.ds(t, 1)][:, 0]                 # (rows_n, S)
-        col = limb.mul(colt, _broadcast_row(dinv, colt.shape))
-        below = rows > (j0 + t)
-        col = jnp.where(below, col,
-                        jnp.where(rows == (j0 + t),
-                                  _broadcast_row(d, col.shape), 0.0))
-        out_ref[0, :, pl.ds(t, 1)] = col[:, None]
-        # trailing update within the panel: columns tt > t, using the
-        # multiplier rows col[j0:j0+nb] read back from the slab
-        colp_t = out_ref[0, pl.ds(j0, nb), pl.ds(t, 1)][:, 0]   # (nb, S)
-        upd = limb.mul(col[:, None, :], colp_t[None, :, :])     # (rows_n, nb, S)
-        c3 = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
-        out_ref[0] = limb.add(out_ref[0], jnp.where(c3 > t, -upd, 0.0))
-        return carry
-
-    jax.lax.fori_loop(0, nb, body, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cholesky_panel_batched(c_slab, j0, interpret: bool = False):
-    """Factor one (rows_n, nb) Cholesky column slab per batch element,
-    diagonal block at row offset j0 (same math as the XLA col_step loop
-    in mp.linalg.cholesky, VMEM-resident).
-
-      c_slab (BB, rows_n, nb, S), zeroed above row j0 by the caller
-      j0     int32 scalar array
-    """
-    interpret = interpret or _FORCE_INTERPRET
-    BB, rows_n, nb, S = c_slab.shape
-    kernel = functools.partial(_chol_panel_kernel, rows_n=rows_n, nb=nb)
-    j0 = jnp.asarray(j0, jnp.int32).reshape((1,))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(BB,),
-        in_specs=[pl.BlockSpec((1, rows_n, nb, S),
-                               lambda bb, *_: (bb, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rows_n, nb, S),
-                               lambda bb, *_: (bb, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    def kernel_sp(j0_pref, c_ref, out_ref):
-        _chol_panel_kernel(c_ref, j0_pref, out_ref, rows_n=rows_n, nb=nb)
-
-    with jax.enable_x64(False):     # see solve_unblocked_batched
-        return pl.pallas_call(
-            kernel_sp,
-            out_shape=jax.ShapeDtypeStruct(c_slab.shape, c_slab.dtype),
-            grid_spec=grid_spec,
-            compiler_params=_COMPILER_PARAMS,
-            interpret=interpret,
-        )(j0, c_slab)

@@ -119,26 +119,24 @@ def test_cholesky_unblocked_non_pd_poisons():
     assert not np.isfinite(np.asarray(got)[0, 3, 3]).all()
 
 
-def test_cholesky_panel_batched_matches_full():
-    """Driving the panel kernel over all slabs + XLA trailing updates
-    reproduces the full factor."""
-    rng = np.random.default_rng(4)
-    n, nb = 12, 4
-    a_np = _spd(rng, 1, n)
-    want = np.linalg.cholesky(a_np[0])
+def test_blocked_cholesky_and_solve_via_kernels(monkeypatch):
+    """The blocked limb Cholesky/solve built on the kernels (diagonal
+    chol + right-solve panels + matmul trailing updates) matches the
+    f64 oracle at n > 2*_PANEL."""
+    monkeypatch.setattr(lk, "_FORCE_INTERPRET", True)
+    rng = np.random.default_rng(5)
+    bb, n, m = 2, 80, 5
+    a_np = _spd(rng, bb, n)
     a = _to_limb(a_np)
-
-    from sdpb_tpu.mp import core as mp
-    mat = a[0]
-    rows = np.arange(n)
-    for pi in range(n // nb):
-        j = pi * nb
-        C = np.asarray(mat)[:, j:j + nb]
-        C = jnp.asarray(np.where((rows >= j)[:, None, None], C, 0.0))
-        C = lk.cholesky_panel_batched(C[None], j, interpret=True)[0]
-        mat = jax.lax.dynamic_update_slice(mat, C, (0, j, 0))
-        P = jnp.where((rows >= j + nb)[:, None, None], C, 0.0)
-        mat = mp.add(mat, mp.neg(la.matmul(P, P, transpose_b=True)))
-    lower = (rows[:, None] >= rows[None, :])[:, :, None]
-    mat = jnp.where(lower, mat, 0.0)
-    assert _rel_err(mat[None], want[None]) < 1e-12
+    L = la._cholesky_limb_batched(a)
+    want = np.stack([np.linalg.cholesky(a_np[i]) for i in range(bb)])
+    assert _rel_err(L, want) < 1e-12
+    b_np = rng.standard_normal((bb, n, m))
+    x = la._solve_limb_batched(L, _to_limb(b_np), transpose=False)
+    xw = np.stack([np.linalg.solve(np.tril(want[i]), b_np[i])
+                   for i in range(bb)])
+    assert _rel_err(x, xw) < 1e-12
+    xt = la._solve_limb_batched(L, _to_limb(b_np), transpose=True)
+    xtw = np.stack([np.linalg.solve(np.tril(want[i]).T, b_np[i])
+                    for i in range(bb)])
+    assert _rel_err(xt, xtw) < 1e-12
