@@ -548,6 +548,81 @@ def solve_lower_t(l: MPArray, b: MPArray) -> MPArray:
     return out[:n] if npad else out
 
 
+def _eye_mp(n: int, k: int, dtype) -> np.ndarray:
+    out = np.zeros((n, n, k), np.float32 if jnp.dtype(dtype) == jnp.float32
+                   else np.float64)
+    onev = core.one_np(k, dtype)
+    for i in range(n):
+        out[i, i] = onev
+    return out
+
+
+def use_inverse_panels(l) -> bool:
+    """True when matrix-rhs triangular solves should go through the
+    explicit blocked inverse (TPU limb path): the substitution sweep is
+    sequential VPU work per rhs column, while T = L^-1 costs only tiny
+    diagonal-block inversions plus int8-MXU matmuls, after which every
+    solve IS a matmul.  At 400+ bits the cond(L)*eps error this adds is
+    ~2^-360 -- far inside the IPM's self-correction margin (the
+    reference runs the same algebra at similar conditioning,
+    `initialize_schur_complement_solver.cxx`)."""
+    return _kernels_on(l)
+
+
+def lower_inverse(l: MPArray) -> MPArray:
+    """T = L^{-1} for lower-triangular L (..., n, n, K), blocked:
+    diagonal nb x nb blocks invert via the substitution kernel against
+    an identity rhs; off-diagonal block-rows are MP matmuls
+    (T[i,:i] = -T[i][i] (L[i,:i] T[:i,:i])) on the int8-MXU path."""
+    n, k = l.shape[-3], l.shape[-1]
+    batch = l.shape[:-3]
+    lb = l.reshape((-1,) + l.shape[-3:])
+    out = _lower_inverse_batched(lb)
+    return out.reshape(batch + out.shape[1:])
+
+
+def _lower_inverse_batched(l: MPArray) -> MPArray:
+    from ..ops import limb_kernels as lk
+
+    BB, n, k = l.shape[0], l.shape[-3], l.shape[-1]
+    nb = _PANEL
+    didx_n = jnp.arange(n)
+    eye_np = _eye_mp(min(n, nb) if n > 2 * nb else n, k, l.dtype)
+    if n <= 2 * nb:
+        inv_d = core.recip(l[:, didx_n, didx_n, :])
+        eye = jnp.broadcast_to(jnp.asarray(eye_np), (BB,) + eye_np.shape)
+        if _kernels_on(l):
+            return lk.solve_unblocked_batched(l, eye, inv_d)
+        return jax.vmap(_solve_lower_unblocked)(l, eye, inv_d)
+    npad = (-n) % nb
+    if npad:
+        l = jax.vmap(lambda m: _pad_identity(m, npad))(l)
+    N = n + npad
+    nblk = N // nb
+    # all diagonal blocks inverted in ONE batched kernel call
+    dblk = jnp.stack([l[:, i * nb:(i + 1) * nb, i * nb:(i + 1) * nb]
+                      for i in range(nblk)], axis=1)
+    dflat = dblk.reshape((BB * nblk, nb, nb, k))
+    didx = jnp.arange(nb)
+    inv_d = core.recip(dflat[:, didx, didx, :])
+    eye = jnp.broadcast_to(jnp.asarray(eye_np), (BB * nblk, nb, nb, k))
+    if _kernels_on(l):
+        tii_flat = lk.solve_unblocked_batched(dflat, eye, inv_d)
+    else:
+        tii_flat = jax.vmap(_solve_lower_unblocked)(dflat, eye, inv_d)
+    tii = tii_flat.reshape((BB, nblk, nb, nb, k))
+    T = jnp.zeros((BB, N, N, k), l.dtype)
+    for i in range(nblk):
+        T = jax.lax.dynamic_update_slice(
+            T, tii[:, i], (0, i * nb, i * nb, 0))
+    for i in range(1, nblk):
+        rowL = l[:, i * nb:(i + 1) * nb, :i * nb]
+        prod = matmul(rowL, T[:, :i * nb, :i * nb])
+        trow = core.neg(matmul(tii[:, i], prod))
+        T = jax.lax.dynamic_update_slice(T, trow, (0, i * nb, 0, 0))
+    return T[:, :n, :n] if npad else T
+
+
 def cholesky_solve(l: MPArray, b: MPArray) -> MPArray:
     """A^{-1} B given A = L L^T (the reference's cholesky_solve,
     `run/step/compute_search_direction/cholesky_solve.cxx`)."""

@@ -48,9 +48,11 @@ _TM = 128
 _i0 = np.int32(0)   # dynamic_slice needs uniform index dtypes under x64
 
 # The limb bodies hold several (n, TM, S)-shaped temporaries whose lane
-# dim pads to 128; the default 16 MiB scoped-vmem budget is too small,
-# the v5e's physical VMEM (128 MiB) is not.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# dim pads to 128; the default 16 MiB scoped-vmem budget is too small.
+# Half the v5e's physical 128 MiB, leaving the other half for the
+# enclosing XLA module's own buffers (a 100 MiB limit made big fused
+# modules fail at 130/128 MiB total).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 # Mosaic lowers some kernel-body op chains recursively (one Python
 # frame set per convert_element_type in the body), so large limb
@@ -135,7 +137,11 @@ def solve_unblocked_batched(l, b, inv_d, transpose: bool = False,
     BB, n, m, S = b.shape[0], b.shape[1], b.shape[2], b.shape[3]
     assert l.shape == (BB, n, n, S), (l.shape, b.shape)
     assert inv_d.shape == (BB, n, S), (inv_d.shape, b.shape)
-    tm = min(_TM, m)
+    # The body's limb-arithmetic temporaries are (n, tm, S)-shaped with
+    # the S axis lane-padded to 128; Mosaic's stack allocator keeps a
+    # few dozen of them live, so bound n*tm to stay inside the scoped
+    # VMEM budget at any n (also under vmap's pallas batching rule).
+    tm = max(8, min(_TM, m, 3072 // n))
     mpad = (-m) % tm
     if mpad:
         b = jnp.concatenate(

@@ -179,11 +179,19 @@ def compute_residues(problem: BucketedProblem,
 
 @jax.jit
 def _schur_chol_bucket(bk, ax, ay):
-    """S-Cholesky and L^-1 B for one bucket."""
+    """S-Cholesky and L^-1 B for one bucket.
+
+    On the TPU limb path L^-1 B goes through the explicit blocked
+    triangular inverse (`la.lower_inverse`): the wide-rhs substitution
+    sweep is sequential VPU work, while T = L^-1 is tiny diagonal
+    inversions plus int8-MXU matmuls and T @ B is one more matmul."""
     S = _vblock(bk, lambda bl, a, b: it._schur_complement_block(
         bl, list(a), list(b)), tuple(ax), tuple(ay))
     ls = la.cholesky(S)
-    lb = la.solve_lower(ls, bk.B)
+    if la.use_inverse_panels(ls):
+        lb = la.matmul(la.lower_inverse(ls), bk.B)
+    else:
+        lb = la.solve_lower(ls, bk.B)
     return ls, lb
 
 

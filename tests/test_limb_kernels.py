@@ -140,3 +140,16 @@ def test_blocked_cholesky_and_solve_via_kernels(monkeypatch):
     xtw = np.stack([np.linalg.solve(np.tril(want[i]).T, b_np[i])
                     for i in range(bb)])
     assert _rel_err(xt, xtw) < 1e-12
+
+
+def test_lower_inverse_blocked(monkeypatch):
+    """Blocked explicit triangular inverse (diag kernel solves + MXU
+    matmul block-rows) matches the f64 oracle, small and blocked."""
+    monkeypatch.setattr(lk, "_FORCE_INTERPRET", True)
+    rng = np.random.default_rng(6)
+    for n in (10, 80):
+        a_np = _spd(rng, 2, n)
+        l_np = np.stack([np.linalg.cholesky(a_np[i]) for i in range(2)])
+        T = la.lower_inverse(_to_limb(l_np))
+        want = np.stack([np.linalg.inv(l_np[i]) for i in range(2)])
+        assert _rel_err(T, want) < 1e-11
