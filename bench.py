@@ -246,10 +246,56 @@ def bench_nmax6():
     return dt, backend
 
 
+def _spawn_cpu_baseline():
+    """Launch the reduced-workload CPU measurement CONCURRENTLY with the
+    TPU headline (the 2 host cores are otherwise idle while the chip
+    runs); joined with whatever budget remains at the end."""
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import bench; dt,_,ph = bench.run_once(1, "
+        "bench.BUCKETS_SMALL); print('RES', dt)"
+        % os.path.dirname(os.path.abspath(__file__))
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
+    return subprocess.Popen([sys.executable, "-c", code], env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True)
+
+
+def _stored_baseline():
+    """Committed same-container measurement (BENCH_CPU_BASELINE.json),
+    the fallback when the live CPU subprocess exceeds the budget."""
+    import pathlib
+    p = pathlib.Path(__file__).resolve().parent / "BENCH_CPU_BASELINE.json"
+    if p.exists():
+        return json.loads(p.read_text())
+    return None
+
+
 def main():
     _note(f"budget {BUDGET_S:.0f}s; headline workload compile+run "
           f"starting (400-bit, stock 1e20 scale)")
-    dt, backend, phases = run_once(REPS)
+    cpu_proc = _spawn_cpu_baseline()
+    headline = "solver_iters_per_s_400bit"
+    try:
+        dt, backend, phases = run_once(REPS)
+    except Exception as e:
+        # Never leave the driver without a JSON line: fall back to the
+        # reduced workload as the (honestly relabeled) headline.
+        _note(f"full workload failed ({e!r}); falling back to the "
+              f"reduced workload as headline")
+        headline = "solver_iters_per_s_400bit_reduced"
+        try:
+            dt, backend, phases = run_once(1, BUCKETS_SMALL)
+        except Exception as e2:
+            _note(f"reduced fallback also failed ({e2!r})")
+            if cpu_proc.poll() is None:
+                cpu_proc.kill()
+            print(json.dumps({
+                "metric": "solver_iters_per_s_400bit_failed",
+                "value": 0.0, "unit": "iterations/s",
+                "vs_baseline": 0.0}), flush=True)
+            return
     its = 1.0 / dt
     macs, n_primes = _syrk_mfu(None)
     split = " ".join(f"{k_}={v*1e3:.0f}ms" for k_, v in
@@ -261,39 +307,52 @@ def main():
           f"if Q were the whole iteration)")
 
     # TPU/CPU ratio at the reduced workload (see BUCKETS_SMALL note).
-    # Skipped (vs_baseline=0) when over budget: the JSON line must print.
+    # Both sides degrade independently to the committed same-container
+    # measurement (BENCH_CPU_BASELINE.json) when over budget, so the
+    # JSON line always carries a meaningful vs_baseline.
     vs = 0.0
+    stored = _stored_baseline()
     cpu_dt = tpu_small_dt = None
-    if _left() > 300:
+    cpu_src = tpu_src = "live"
+    if _left() > 240:
         try:
             tpu_small_dt, _, _ = run_once(1, BUCKETS_SMALL)
             _note(f"reduced workload on {backend}: "
-                  f"{tpu_small_dt*1e3:.0f} ms; CPU baseline subprocess "
-                  f"({_left():.0f}s left)")
-            code = (
-                "import sys; sys.path.insert(0, %r); "
-                "import bench; dt,_,ph = bench.run_once(1, "
-                "bench.BUCKETS_SMALL); print('RES', dt)"
-                % os.path.dirname(os.path.abspath(__file__))
-            )
-            env = dict(os.environ, JAX_PLATFORMS="cpu", BENCH_FORCE_CPU="1")
-            out = subprocess.run(
-                [sys.executable, "-c", code], env=env,
-                capture_output=True, text=True,
-                timeout=max(60, _left() - 120))
-            for line in out.stdout.splitlines():
-                if line.startswith("RES "):
-                    cpu_dt = float(line.split()[1])
-            vs = cpu_dt / tpu_small_dt
-            _note(f"reduced-workload ratio: cpu={cpu_dt*1e3:.0f} ms vs "
-                  f"{backend}={tpu_small_dt*1e3:.0f} ms -> {vs:.1f}x")
+                  f"{tpu_small_dt*1e3:.0f} ms ({_left():.0f}s left)")
         except Exception as e:
-            _note(f"CPU-ratio measurement skipped: {e!r}")
-            vs = 0.0
+            _note(f"reduced TPU workload failed: {e!r}")
+    if tpu_small_dt is None and stored:
+        tpu_small_dt = stored.get("tpu_small_iter_s")
+        tpu_src = "stored"
+    try:
+        budget_join = max(10, _left() - 90)
+        out, _ = cpu_proc.communicate(timeout=budget_join)
+        for line in out.splitlines():
+            if line.startswith("RES "):
+                cpu_dt = float(line.split()[1])
+    except Exception:
+        cpu_proc.kill()
+        _note(f"live CPU baseline did not finish inside the budget")
+    if cpu_dt is None and stored:
+        cpu_dt = stored.get("cpu_small_iter_s")
+        cpu_src = "stored"
+    if cpu_dt and tpu_small_dt:
+        vs = cpu_dt / tpu_small_dt
+        _note(f"reduced-workload ratio: cpu={cpu_dt*1e3:.0f} ms "
+              f"({cpu_src}) vs {backend}={tpu_small_dt*1e3:.0f} ms "
+              f"({tpu_src}) -> {vs:.1f}x "
+              f"(all-core 2-core host CPU, same code+precision)")
     else:
-        _note("CPU-ratio measurement skipped: over budget")
+        _note("CPU-ratio measurement unavailable (no live run inside "
+              "budget, no stored BENCH_CPU_BASELINE.json)")
 
-    if _left() > 180:
+    # nmax6 is opt-in: its shapes share nothing with the headline, so a
+    # cold run adds tens of minutes of XLA compile that the budget
+    # guard cannot interrupt once started.  Enable explicitly, or via
+    # the stored-baseline marker once its compiles are known cached.
+    run6 = os.environ.get("SDPB_TPU_BENCH_NMAX6") == "1" or \
+        bool(stored and stored.get("nmax6_cached"))
+    if run6 and _left() > 600:
         try:
             res6 = bench_nmax6()
         except Exception as e:
@@ -309,9 +368,13 @@ def main():
                   f"cannot build in this container -- no MPI/Elemental/"
                   f"FLINT/boost toolchain, see BASELINE.md)")
     else:
-        _note("nmax6 measurement skipped: over budget")
+        _note("nmax6 measurement skipped (opt-in via "
+              "SDPB_TPU_BENCH_NMAX6=1 or stored nmax6_cached marker; "
+              "cold compile would overrun the driver budget)")
+    if cpu_proc.poll() is None:
+        cpu_proc.kill()
     print(json.dumps({
-        "metric": f"solver_iters_per_s_400bit_{backend}",
+        "metric": f"{headline}_{backend}",
         "value": round(its, 4),
         "unit": "iterations/s",
         "vs_baseline": round(vs, 2),

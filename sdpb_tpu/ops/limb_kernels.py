@@ -65,13 +65,37 @@ _ENABLED = os.environ.get("SDPB_TPU_PALLAS", "1") != "0"
 # backend (exercises the routed code paths on CPU CI).
 _FORCE_INTERPRET = os.environ.get("SDPB_TPU_PALLAS_INTERPRET", "0") == "1"
 
+# Platform the enclosing computation lowers onto, when known to differ
+# from `jax.default_backend()` — set by parallel._shard.shard_map while
+# tracing mesh kernels (a virtual-CPU mesh on a TPU-plugin host must
+# not route to Pallas TPU kernels).
+_PLATFORM_OVERRIDE: str | None = None
+
+
+class force_platform:
+    """Context manager pinning `enabled()`'s platform while tracing."""
+
+    def __init__(self, platform: str | None):
+        self._platform = platform
+
+    def __enter__(self):
+        global _PLATFORM_OVERRIDE
+        self._prev = _PLATFORM_OVERRIDE
+        _PLATFORM_OVERRIDE = self._platform
+        return self
+
+    def __exit__(self, *exc):
+        global _PLATFORM_OVERRIDE
+        _PLATFORM_OVERRIDE = self._prev
+        return False
+
 
 def enabled(backend: str | None = None) -> bool:
     if not _ENABLED:
         return False
     if _FORCE_INTERPRET:
         return True
-    b = backend or jax.default_backend()
+    b = backend or _PLATFORM_OVERRIDE or jax.default_backend()
     return b in ("tpu", "axon")
 
 

@@ -97,7 +97,28 @@ def solve(problem: SDPProblem, params: SolverParams,
     """Run the interior-point loop to termination.
 
     ``timers`` (sdpb_tpu.utils.timers.Timers) records the reference's
-    dotted profile paths (run.iter_<n>.{residues,step}) when given."""
+    dotted profile paths (run.iter_<n>.{residues,step}) when given.
+
+    Mesh problems pin Pallas-kernel routing to the MESH devices'
+    platform for the whole solve: combiner kernels outside shard_map
+    (Q restore/Cholesky, dy solve) compile for the mesh devices, not
+    `jax.default_backend()` (a virtual-CPU mesh on a TPU-plugin host
+    must not route limb linalg to Pallas TPU kernels)."""
+    mesh = getattr(problem, "mesh", None)
+    if mesh is not None:
+        from ..ops import limb_kernels as lk
+
+        platform = next(iter(mesh.devices.flat)).platform
+        with lk.force_platform(platform):
+            return _solve_impl(problem, params, state, verbose,
+                               iteration_hook, timers)
+    return _solve_impl(problem, params, state, verbose, iteration_hook,
+                       timers)
+
+
+def _solve_impl(problem: SDPProblem, params: SolverParams,
+                state: SolverState | None = None, verbose: bool = False,
+                iteration_hook=None, timers=None) -> SolveResult:
     from ..parallel import mesh as mesh_mod
     from ..parallel import intra_solver
 
